@@ -1,0 +1,57 @@
+"""Quick TPU smoke + first timing signal for the kernels (not a benchmark)."""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import svd_lstm_tpu  # noqa: F401  (sets matmul precision)
+from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
+from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+from svd_lstm_tpu.ops.pallas_lstm import (
+    dense_forward_hybrid,
+    fused_dense_stack_pallas,
+    fused_reduced_stack_pallas,
+    reduced_forward_hybrid,
+)
+
+print("devices:", jax.devices())
+
+T = 6656
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.normal(size=(T, 16)), jnp.float32)
+
+params = init_stacked_lstm(jax.random.PRNGKey(0), 16, (40, 40, 40, 40))
+smodel = make_singular_model(params, merged_kernel=False)
+rmodel = make_reduced_model(smodel, rank=25)
+
+
+def bench(name, fn, *args, iters=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    best = min(ts)
+    print(f"{name:28s} {best*1e3:9.3f} ms   ({best/T*1e6:7.3f} us/step)")
+    return np.asarray(out), best
+
+
+scan_dense = jax.jit(lambda p, xx: stacked_lstm_apply(p, xx, return_sequences=True))
+scan_reduced = jax.jit(lambda p, xx: reduced_lstm_apply(p, xx, return_sequences=True))
+
+y_scan, t_scan = bench("xla scan dense", scan_dense, params, x[None])
+y_scan_r, t_scan_r = bench("xla scan reduced r=25", scan_reduced, rmodel, x[None])
+y_fd, t_fd = bench("pallas fused dense", fused_dense_stack_pallas, params, x)
+y_fr, t_fr = bench("pallas fused reduced r=25", fused_reduced_stack_pallas, rmodel, x)
+y_hd, t_hd = bench("hybrid dense", dense_forward_hybrid, params, x)
+y_hr, t_hr = bench("hybrid reduced r=25", reduced_forward_hybrid, rmodel, x)
+
+print("max|fused dense - scan dense|:", np.abs(y_fd[:, 0] - y_scan[0, :, 0]).max())
+print("max|fused red   - scan red  |:", np.abs(y_fr[:, 0] - y_scan_r[0, :, 0]).max())
+print("max|hybrid dense- scan dense|:", np.abs(y_hd[:, 0] - y_scan[0, :, 0]).max())
+print(f"reduced/full (pallas fused): {t_fr/t_fd:.3f}  (reference got 1.31, lower is better)")

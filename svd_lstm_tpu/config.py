@@ -1,0 +1,75 @@
+"""Configuration dataclasses.
+
+The reference inlines every knob as a constant; this module captures exactly
+those knobs (SURVEY.md §5 "Config / flag system"):
+
+* sampling period 500/16 µs        (reference code/svd_acceleration_v3.py:111)
+* frame width 16                   (reference code/train_full_model_v4.py:65)
+* train/test split at t = 30.7 s   (reference code/train_full_model_v4.py:72)
+* units [40, 40, 40, 40]           (reference code/train_full_model_v4.py:102)
+* 20 000 windows × 200 steps       (reference code/train_full_model_v4.py:120)
+* 30 epochs adam + MSE             (reference code/train_full_model_v4.py:116-126)
+* hoyer = 0.01, cutoff = 0.05      (reference code/svd_acceleration_v3.py:117,145)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """DROPBEAR preprocessing knobs (reference code/train_full_model_v4.py:24-80)."""
+
+    sampling_period: float = 500 / 16 * 1e-6   # seconds between raw samples
+    frame_width: int = 16                      # samples per LSTM step
+    start_time: float = 1.5                    # drop everything before t=1.5 s
+    split_time: float = 30.7                   # train/test boundary (seconds)
+    json_path: str = "data_6_with_FFT.json"
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Stacked-LSTM regressor structure (reference code/train_full_model_v4.py:102-115)."""
+
+    input_dim: int = 16
+    units: Sequence[int] = (40, 40, 40, 40)
+    head_dim: int = 1
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Windowed-BPTT training knobs (reference code/train_full_model_v4.py:116-126)."""
+
+    num_windows: int = 20_000
+    window_len: int = 200
+    batch_size: int = 32
+    epochs: int = 30
+    learning_rate: float = 1e-3     # keras adam default
+    seed: int = 0
+    nan_rollback: bool = True       # reference old_versions/train_full_model.py:133-136
+    checkpoint_dir: str = "./model_saves"
+
+
+@dataclasses.dataclass(frozen=True)
+class FactorConfig:
+    """SVD factorization / fine-tune knobs (reference code/svd_acceleration_v3.py:117-145)."""
+
+    merged_kernel: bool = False     # split (per-gate) factorization is the driver default
+    hoyer: float = 0.01             # Hoyer L1/L2 coefficient on σ vectors
+    orthogonal: float = 0.0         # orthogonality penalty on U/V factors; >0 => train U/V
+    train_uv: bool = False
+    cutoff: float = 0.05            # σ truncation threshold
+    finetune_epochs: int = 10
+    finetune_batch_size: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepConfig:
+    """Rank-reduction sweep knobs (reference code/old_versions/svd_acceleration.py:61-88)."""
+
+    protect_first_layer_w: bool = True   # reference :67-68
+    evaluate_every: int = 1
+    threshold: float | None = None       # stop when RMSE ratio exceeds this

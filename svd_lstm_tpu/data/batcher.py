@@ -1,0 +1,46 @@
+"""Random-window batching for windowed-BPTT training.
+
+Parity with the reference batcher (code/train_full_model_v4.py:82-87):
+sample `batch_size` windows of `train_len` steps uniformly from the training
+run; the label is the target value at the window *end* (many-to-one).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def split_train_random(
+    X_train: np.ndarray,
+    y_train: np.ndarray,
+    batch_size: int,
+    train_len: int,
+    seed: int | None = None,
+):
+    """X_train: (1, T, d); y_train: (T,). Returns (batch, train_len, d), (batch,)."""
+    rng = np.random.default_rng(seed)
+    run_size = X_train.shape[1]
+    starts = rng.integers(0, run_size - train_len, size=batch_size)
+    # Gather windows with one vectorized fancy-index instead of a Python loop.
+    offsets = np.arange(train_len)
+    idx = starts[:, None] + offsets[None, :]
+    X_mini = X_train[0][idx]                 # (batch, train_len, d)
+    y_mini = y_train[starts + train_len]     # label at window end
+    return np.ascontiguousarray(X_mini), np.ascontiguousarray(y_mini)
+
+
+def window_epoch_iterator(
+    X_mini: np.ndarray,
+    y_mini: np.ndarray,
+    batch_size: int,
+    seed: int = 0,
+):
+    """Yield shuffled (x, y) minibatches of a fixed window set, dropping the
+    ragged tail so every step sees a static shape (XLA-friendly)."""
+    rng = np.random.default_rng(seed)
+    n = X_mini.shape[0]
+    perm = rng.permutation(n)
+    n_full = (n // batch_size) * batch_size
+    for i in range(0, n_full, batch_size):
+        sel = perm[i : i + batch_size]
+        yield X_mini[sel], y_mini[sel]

@@ -1,0 +1,12 @@
+from svd_lstm_tpu.factor.svd import (
+    factorize_lstm_params,
+    make_singular_model,
+    make_reduced_model,
+    truncate_singular_layer,
+    reduce_matrix_rank,
+    reduce_two_step,
+    two_step_factors,
+    get_model_singular_values,
+    set_model_matrix_rank,
+)
+from svd_lstm_tpu.factor.regularizers import hoyer_penalty, orthogonal_penalty

@@ -1,0 +1,45 @@
+"""Regularizers for singular-value sparsification and factor orthogonality.
+
+* ``hoyer_penalty`` — the Hoyer L1/L2 ratio (reference HoyerRegularizer,
+  code/svd_classes_v3.py:455-465): scale-invariant pressure that sparsifies
+  a vector without shrinking its energy. The reference's raw ratio has an
+  unguarded denominator (stiff near 0, SURVEY.md §7 hard part (d)); here the
+  denominator carries an epsilon.
+* ``orthogonal_penalty`` — keras.regularizers.OrthogonalRegularizer
+  semantics (mode='rows'), used on the U/V factors when they are trainable
+  (reference code/svd_classes_v3.py:513-518,572-577): mean absolute
+  off-diagonal entry of the row-normalized Gram matrix, halved.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def hoyer_penalty(x: jnp.ndarray, coef: float = 1.0, eps: float = 1e-12) -> jnp.ndarray:
+    """coef * Σ|x| / (Σx² + eps)."""
+    x = x.reshape(-1)
+    return coef * jnp.sum(jnp.abs(x)) / (jnp.sum(jnp.square(x)) + eps)
+
+
+def orthogonal_penalty(
+    m: jnp.ndarray, factor: float = 1.0, mode: str = "rows", eps: float = 1e-12
+) -> jnp.ndarray:
+    """factor * 0.5 * mean_|offdiag| of the normalized Gram matrix.
+
+    mode='rows': gram = normalize_rows(m) @ normalize_rows(m)ᵀ;
+    mode='columns': the transpose convention. Matches Keras ≥2.10.
+    Batched inputs (leading gate axis, ndim==3) are averaged over the batch.
+    """
+    if m.ndim == 3:
+        vals = [orthogonal_penalty(m[g], factor, mode, eps) for g in range(m.shape[0])]
+        return sum(vals) / len(vals)
+    if mode == "columns":
+        m = m.T
+    norm = jnp.sqrt(jnp.sum(jnp.square(m), axis=1, keepdims=True) + eps)
+    mn = m / norm
+    gram = mn @ mn.T
+    size = gram.shape[0]
+    off = jnp.abs(gram - jnp.diag(jnp.diag(gram)))
+    num_pairs = size * (size - 1.0) / 2.0
+    return factor * 0.5 * jnp.sum(off) / num_pairs

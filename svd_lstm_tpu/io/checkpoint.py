@@ -1,0 +1,86 @@
+"""Parameter checkpointing.
+
+Covers the reference's checkpoint/resume surface (SURVEY.md §5): Keras'
+``ModelCheckpoint(save_best_only)`` + ``model.save/load_model``
+(reference old_versions/train_full_model.py:108-116,
+train_full_model_v4.py:128,159) become explicit save/load of parameter
+pytrees. Arrays are stored as a compressed ``.npz`` plus a JSON treedef so
+checkpoints are portable and inspectable (no pickle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svd_lstm_tpu.models.lstm import DenseParams, LSTMLayerParams, StackedLSTMParams
+from svd_lstm_tpu.models.reduced import ReducedLayerParams, ReducedModelParams
+from svd_lstm_tpu.models.singular import SingularLayerParams, SingularModelParams
+
+_NODE_TYPES = {
+    cls.__name__: cls
+    for cls in [
+        DenseParams,
+        LSTMLayerParams,
+        StackedLSTMParams,
+        SingularLayerParams,
+        SingularModelParams,
+        ReducedLayerParams,
+        ReducedModelParams,
+    ]
+}
+
+
+def _spec_of(obj: Any, leaves: list) -> Any:
+    if isinstance(obj, tuple) and hasattr(obj, "_fields"):  # NamedTuple node
+        return {
+            "__node__": type(obj).__name__,
+            "fields": {k: _spec_of(v, leaves) for k, v in obj._asdict().items()},
+        }
+    if isinstance(obj, tuple):
+        return {"__tuple__": [_spec_of(v, leaves) for v in obj]}
+    if isinstance(obj, list):
+        return {"__list__": [_spec_of(v, leaves) for v in obj]}
+    if isinstance(obj, dict):
+        return {"__dict__": {k: _spec_of(v, leaves) for k, v in obj.items()}}
+    # leaf array
+    idx = len(leaves)
+    leaves.append(np.asarray(obj))
+    return {"__leaf__": idx}
+
+
+def _build(spec: Any, leaves) -> Any:
+    if "__leaf__" in spec:
+        return jnp.asarray(leaves[spec["__leaf__"]])
+    if "__node__" in spec:
+        cls = _NODE_TYPES[spec["__node__"]]
+        return cls(**{k: _build(v, leaves) for k, v in spec["fields"].items()})
+    if "__tuple__" in spec:
+        return tuple(_build(v, leaves) for v in spec["__tuple__"])
+    if "__list__" in spec:
+        return [_build(v, leaves) for v in spec["__list__"]]
+    if "__dict__" in spec:
+        return {k: _build(v, leaves) for k, v in spec["__dict__"].items()}
+    raise ValueError(f"bad checkpoint spec node: {spec}")
+
+
+def save_params(path: str, params: Any) -> None:
+    """Save a parameter pytree (dense/singular/reduced model) to ``path``
+    (a ``.npz`` file; parent dirs are created)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    leaves: list = []
+    spec = _spec_of(jax.device_get(params), leaves)
+    arrays = {f"leaf_{i}": a for i, a in enumerate(leaves)}
+    np.savez_compressed(path, __spec__=json.dumps(spec), **arrays)
+
+
+def load_params(path: str) -> Any:
+    with np.load(path, allow_pickle=False) as z:
+        spec = json.loads(str(z["__spec__"]))
+        leaves = [z[f"leaf_{i}"] for i in range(sum(1 for k in z.files if k.startswith("leaf_")))]
+    return _build(spec, leaves)

@@ -1,0 +1,126 @@
+"""Per-gate CSV weight export/import — LabVIEW-deployment parity.
+
+The reference ships per-gate CSV dumps for a LabVIEW real-time consumer
+(reference code/load_preprocess.py:93-126; shipped artifacts
+code/model_weights/lstm_{69,70,71}/ + dense_top/). File layout per LSTM
+layer directory:
+
+    Wi.csv Wf.csv Wc.csv Wo.csv   — input kernel gate blocks
+    Ui.csv Uf.csv Uc.csv Uo.csv   — recurrent kernel gate blocks
+    bi.csv bf.csv bc.csv bo.csv   — bias gate segments
+
+The reference's ``save_model_weights_as_csv`` writes the *untransposed*
+Keras blocks ``W[:, g*n:(g+1)*n]`` of shape (in_dim, units); the shipped
+lstm_69 fixtures are however stored transposed, (units × in_dim) — produced
+by the older row-convention path (reference old_versions/svd_classes.py:125
+"I believe these must be transposed"). The loader accepts either via
+``transposed=``, defaulting to the shipped-fixture convention so the
+artifacts under model_weights/ load directly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from svd_lstm_tpu.models.lstm import DenseParams, LSTMLayerParams, StackedLSTMParams
+
+GATES = ("i", "f", "c", "o")
+
+
+def save_model_weights_as_csv(
+    params: StackedLSTMParams, savpath: str = "./model_weights"
+) -> None:
+    """Write per-gate CSVs, one directory per layer plus ``dense_top/``."""
+    os.makedirs(savpath, exist_ok=True)
+    for li, layer in enumerate(params.layers):
+        d = os.path.join(savpath, f"lstm_{li}")
+        os.makedirs(d, exist_ok=True)
+        W = np.asarray(layer.W)
+        U = np.asarray(layer.U)
+        b = np.asarray(layer.b)
+        n = layer.units
+        for g, name in enumerate(GATES):
+            np.savetxt(os.path.join(d, f"W{name}.csv"), W[:, g * n : (g + 1) * n], delimiter=",")
+            np.savetxt(os.path.join(d, f"U{name}.csv"), U[:, g * n : (g + 1) * n], delimiter=",")
+            np.savetxt(os.path.join(d, f"b{name}.csv"), b[g * n : (g + 1) * n], delimiter=",")
+    d = os.path.join(savpath, "dense_top")
+    os.makedirs(d, exist_ok=True)
+    np.savetxt(os.path.join(d, "weights.csv"), np.asarray(params.head.w), delimiter=",")
+    np.savetxt(os.path.join(d, "bias.csv"), np.asarray(params.head.b), delimiter=",")
+
+
+def _load_gate(path: str) -> np.ndarray:
+    return np.atleast_1d(np.loadtxt(path, delimiter=","))
+
+
+def load_layer_from_csv(
+    layer_dir: str, transposed: bool = True, dtype=jnp.float32
+) -> LSTMLayerParams:
+    """Load one layer directory of per-gate CSVs into Keras-layout params.
+
+    transposed=True (default): files store (units, in_dim) blocks as in the
+    shipped reference fixtures (code/model_weights/lstm_69/Wi.csv is 15×16).
+    """
+    Wg, Ug, bg = [], [], []
+    for name in GATES:
+        W = np.atleast_2d(_load_gate(os.path.join(layer_dir, f"W{name}.csv")))
+        U = np.atleast_2d(_load_gate(os.path.join(layer_dir, f"U{name}.csv")))
+        b = _load_gate(os.path.join(layer_dir, f"b{name}.csv"))
+        if transposed:
+            W, U = W.T, U.T
+        Wg.append(W)
+        Ug.append(U)
+        bg.append(b)
+    return LSTMLayerParams(
+        W=jnp.asarray(np.concatenate(Wg, axis=1), dtype),
+        U=jnp.asarray(np.concatenate(Ug, axis=1), dtype),
+        b=jnp.asarray(np.concatenate(bg), dtype),
+    )
+
+
+def load_model_from_csv(
+    savpath: str,
+    layer_dirs: Sequence[str] | None = None,
+    dense_dir: str = "dense_top",
+    transposed: bool = True,
+    dtype=jnp.float32,
+) -> StackedLSTMParams:
+    """Load a whole stacked model from a model_weights/-style directory.
+
+    ``layer_dirs`` default: every ``lstm_*`` subdirectory in name order
+    (matches the reference's lstm_69/lstm_70/lstm_71 layout)."""
+    if layer_dirs is None:
+        layer_dirs = sorted(
+            d for d in os.listdir(savpath)
+            if d.startswith("lstm_") and os.path.isdir(os.path.join(savpath, d))
+        )
+    layers = tuple(
+        load_layer_from_csv(os.path.join(savpath, d), transposed, dtype)
+        for d in layer_dirs
+    )
+    w = np.atleast_1d(np.loadtxt(os.path.join(savpath, dense_dir, "weights.csv"), delimiter=","))
+    b = np.atleast_1d(np.loadtxt(os.path.join(savpath, dense_dir, "bias.csv"), delimiter=","))
+    if w.ndim == 1:
+        w = w[:, None]
+    head = DenseParams(w=jnp.asarray(w, dtype), b=jnp.asarray(b.reshape(-1), dtype))
+    return StackedLSTMParams(layers=layers, head=head)
+
+
+def predictions_to_csv(path: str, y: np.ndarray) -> None:
+    """Persist a whole-run prediction, parity with the shipped
+    ``model_prediction.csv`` fixture (29 700 rows, one float per line)."""
+    np.savetxt(path, np.asarray(y).reshape(-1), delimiter=",")
+
+
+def preprocessed_to_csv(savpath: str, t: np.ndarray, y: np.ndarray, X: np.ndarray | None = None) -> None:
+    """Persist preprocessed series, parity with
+    ``preprocessed_DROPBEAR_{t,y,X}.csv`` (reference load_preprocess.py:146-165)."""
+    os.makedirs(savpath, exist_ok=True)
+    np.savetxt(os.path.join(savpath, "preprocessed_DROPBEAR_t.csv"), np.asarray(t).reshape(-1), delimiter=",")
+    np.savetxt(os.path.join(savpath, "preprocessed_DROPBEAR_y.csv"), np.asarray(y).reshape(-1), delimiter=",")
+    if X is not None:
+        np.savetxt(os.path.join(savpath, "preprocessed_DROPBEAR_X.csv"), np.asarray(X).reshape(X.shape[-2] if X.ndim == 3 else X.shape[0], -1), delimiter=",")

@@ -1,0 +1,181 @@
+"""Dense stacked-LSTM regressor, TPU-first.
+
+Weight layout is Keras-compatible so the reference's CSV fixtures load
+directly (reference code/load_preprocess.py:93-126 stores per-gate blocks of
+the same matrices):
+
+* ``W``: (input_dim, 4*units), gate columns ordered [i | f | c | o]
+* ``U``: (units, 4*units), same gate order
+* ``b``: (4*units,)
+
+and the cell math is the standard Keras LSTM
+(reference code/old_versions/svd_classes.py:35-42 spells it out):
+
+    z = x @ W + h @ U + b
+    i, f, g, o = split(z, 4)
+    c' = sigmoid(f) * c + sigmoid(i) * tanh(g)
+    h' = sigmoid(o) * tanh(c')
+
+TPU-first structure: the input projection ``x @ W + b`` for a whole sequence
+is hoisted out of the recurrence into ONE large matmul (T×d @ d×4n) that XLA
+tiles onto the MXU; only the inherently-sequential hidden-state product
+``h @ U`` stays inside ``lax.scan``. This is what lets the full-sequence
+forward pass run orders of magnitude faster than the reference's
+``backend.rnn`` interpreter loop (code/svd_classes_v3.py:408-419).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class LSTMLayerParams(NamedTuple):
+    W: jax.Array  # (input_dim, 4*units)  [i|f|c|o]
+    U: jax.Array  # (units, 4*units)
+    b: jax.Array  # (4*units,)
+
+    @property
+    def units(self) -> int:
+        return self.U.shape[0]
+
+
+class DenseParams(NamedTuple):
+    w: jax.Array  # (in, out)
+    b: jax.Array  # (out,)
+
+
+class StackedLSTMParams(NamedTuple):
+    layers: Tuple[LSTMLayerParams, ...]
+    head: DenseParams
+
+
+def gate_update(z: jax.Array, c: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Fused carry/output update. z: (..., 4n); c: (..., n)."""
+    n = c.shape[-1]
+    zi, zf, zg, zo = z[..., :n], z[..., n : 2 * n], z[..., 2 * n : 3 * n], z[..., 3 * n :]
+    i = jax.nn.sigmoid(zi)
+    f = jax.nn.sigmoid(zf)
+    g = jnp.tanh(zg)
+    o = jax.nn.sigmoid(zo)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm_cell_step(
+    params: LSTMLayerParams, x: jax.Array, h: jax.Array, c: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """One LSTM step on (batch, d) input — the real-time batch-1 deployment
+    semantics (reference code/old_versions/svd_classes.py:104-119)."""
+    z = x @ params.W + h @ params.U + params.b
+    return gate_update(z, c)
+
+
+def lstm_layer_apply(
+    params: LSTMLayerParams,
+    x_seq: jax.Array,
+    h0: jax.Array | None = None,
+    c0: jax.Array | None = None,
+    return_state: bool = False,
+):
+    """Run one LSTM layer over a sequence.
+
+    x_seq: (batch, T, d). Returns (batch, T, units) hidden sequence
+    (optionally plus final (h, c)).
+    """
+    B, T, _ = x_seq.shape
+    n = params.units
+    dtype = x_seq.dtype
+    if h0 is None:
+        h0 = jnp.zeros((B, n), dtype)
+    if c0 is None:
+        c0 = jnp.zeros((B, n), dtype)
+
+    # Hoisted input projection: one big MXU matmul for the whole sequence.
+    xp = jnp.einsum("btd,dg->btg", x_seq, params.W) + params.b  # (B, T, 4n)
+    xp_t = jnp.swapaxes(xp, 0, 1)  # (T, B, 4n) — scan over leading axis
+
+    U = params.U
+
+    def step(carry, xp_step):
+        h, c = carry
+        z = xp_step + h @ U
+        h, c = gate_update(z, c)
+        return (h, c), h
+
+    (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), xp_t)
+    h_seq = jnp.swapaxes(h_seq, 0, 1)  # (B, T, n)
+    if return_state:
+        return h_seq, (hT, cT)
+    return h_seq
+
+
+def stacked_lstm_apply(
+    params: StackedLSTMParams,
+    x_seq: jax.Array,
+    return_sequences: bool = True,
+) -> jax.Array:
+    """Stacked LSTM + Dense head.
+
+    return_sequences=True  -> (batch, T, head_dim)   (whole-run evaluation,
+                              reference code/train_full_model_v4.py:129-139)
+    return_sequences=False -> (batch, head_dim)      (many-to-one training,
+                              reference code/train_full_model_v4.py:109-115)
+    """
+    h = x_seq
+    for layer in params.layers:
+        h = lstm_layer_apply(layer, h)
+    if not return_sequences:
+        h = h[:, -1]
+    return h @ params.head.w + params.head.b
+
+
+def _glorot_uniform(key, shape, dtype):
+    fan_in, fan_out = shape[0], shape[1]
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def _orthogonal_gates(key, n, units, dtype):
+    """Keras recurrent_initializer='orthogonal': one orthogonal (n, n) block
+    per gate, concatenated along columns."""
+    keys = jax.random.split(key, 4)
+    blocks = [jax.nn.initializers.orthogonal()(k, (n, units), dtype) for k in keys]
+    return jnp.concatenate(blocks, axis=1)
+
+
+def init_lstm_layer(key, input_dim: int, units: int, dtype=jnp.float32) -> LSTMLayerParams:
+    kW, kU = jax.random.split(key)
+    W = _glorot_uniform(kW, (input_dim, 4 * units), dtype)
+    U = _orthogonal_gates(kU, units, units, dtype)
+    # Keras unit_forget_bias=True: forget-gate bias initialized to 1.
+    b = jnp.concatenate(
+        [
+            jnp.zeros((units,), dtype),
+            jnp.ones((units,), dtype),
+            jnp.zeros((2 * units,), dtype),
+        ]
+    )
+    return LSTMLayerParams(W=W, U=U, b=b)
+
+
+def init_stacked_lstm(
+    key,
+    input_dim: int = 16,
+    units: Sequence[int] = (40, 40, 40, 40),
+    head_dim: int = 1,
+    dtype=jnp.float32,
+) -> StackedLSTMParams:
+    keys = jax.random.split(key, len(units) + 1)
+    layers = []
+    d = input_dim
+    for k, n in zip(keys[:-1], units):
+        layers.append(init_lstm_layer(k, d, n, dtype))
+        d = n
+    w = _glorot_uniform(keys[-1], (d, head_dim), dtype)
+    b = jnp.zeros((head_dim,), dtype)
+    return StackedLSTMParams(layers=tuple(layers), head=DenseParams(w=w, b=b))

@@ -1,0 +1,133 @@
+"""SVD-factorized ("singular") LSTM layer.
+
+Each kernel is parameterized as a three-step product with the singular-value
+vector as the trainable bottleneck (reference code/svd_classes_v3.py:17-236):
+
+* merged kernel:  z = ((x @ w_left) * w_sigma) @ w_right, with
+  ``w_left = U`` (d×d), ``w_sigma = Σ`` (d,), ``w_right = Vᵀ`` (d×4n) from
+  one SVD of the whole (d × 4n) matrix (reference :116-145);
+* split kernel: the same per gate, with the four gates' factors stacked on a
+  leading gate axis — the reference stores them concatenated column-wise
+  (code/svd_classes_v3.py:146-232); stacking lets the whole 4-gate product
+  run as two batched einsums instead of 12 separate matmuls.
+
+The layout is detected from ``w_left.ndim`` (3 ⇒ split), so the params stay a
+clean pytree with no static flags.
+
+Like the dense layer, the full three-step *input* product is hoisted out of
+the recurrence (the sequence is known ahead of time); only the hidden-state
+three-step product runs inside ``lax.scan``.
+
+During fine-tuning only the σ vectors receive gradients unless ``train_uv``
+is enabled (reference `train_uv`, code/svd_classes_v3.py:51-107) — handled by
+the optimizer mask in ``svd_lstm_tpu.train.finetune``, not by the forward.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from svd_lstm_tpu.models.lstm import DenseParams, gate_update
+
+
+class SingularLayerParams(NamedTuple):
+    # merged: wl (d, d);   ws (d,);    wr (d, 4n)
+    # split:  wl (4, d, k); ws (4, k); wr (4, k, n)   with k = min(d, n)
+    wl: jax.Array
+    ws: jax.Array
+    wr: jax.Array
+    # merged: ul (n, n);   us (n,);    ur (n, 4n)
+    # split:  ul (4, n, n); us (4, n); ur (4, n, n)
+    ul: jax.Array
+    us: jax.Array
+    ur: jax.Array
+    b: jax.Array  # (4n,)
+
+    @property
+    def split(self) -> bool:
+        return self.wl.ndim == 3
+
+    @property
+    def units(self) -> int:
+        return self.ul.shape[-2]
+
+
+class SingularModelParams(NamedTuple):
+    layers: Tuple[SingularLayerParams, ...]
+    head: DenseParams
+
+
+def _three_step_merged(x, left, sigma, right):
+    """((x @ left) * sigma) @ right — reference code/svd_classes_v3.py:129-131."""
+    return ((x @ left) * sigma) @ right
+
+
+def _three_step_split(x, left, sigma, right):
+    """Per-gate three-step product, batched over the gate axis.
+
+    x: (..., d); left: (4, d, k); sigma: (4, k); right: (4, k, n).
+    Returns (..., 4n) with gate blocks ordered [i|f|c|o].
+    """
+    xg = jnp.einsum("...d,gdk->...gk", x, left) * sigma
+    zg = jnp.einsum("...gk,gkn->...gn", xg, right)
+    return zg.reshape(*zg.shape[:-2], -1)
+
+
+def singular_input_projection(p: SingularLayerParams, x_seq: jax.Array) -> jax.Array:
+    """Whole-sequence input product + bias: (B, T, d) -> (B, T, 4n)."""
+    if p.split:
+        return _three_step_split(x_seq, p.wl, p.ws, p.wr) + p.b
+    return _three_step_merged(x_seq, p.wl, p.ws, p.wr) + p.b
+
+
+def singular_recurrent_product(p: SingularLayerParams, h: jax.Array) -> jax.Array:
+    if p.split:
+        return _three_step_split(h, p.ul, p.us, p.ur)
+    return _three_step_merged(h, p.ul, p.us, p.ur)
+
+
+def singular_layer_apply(
+    p: SingularLayerParams,
+    x_seq: jax.Array,
+    h0: jax.Array | None = None,
+    c0: jax.Array | None = None,
+    return_state: bool = False,
+):
+    B, T, _ = x_seq.shape
+    n = p.units
+    dtype = x_seq.dtype
+    if h0 is None:
+        h0 = jnp.zeros((B, n), dtype)
+    if c0 is None:
+        c0 = jnp.zeros((B, n), dtype)
+
+    xp = singular_input_projection(p, x_seq)
+    xp_t = jnp.swapaxes(xp, 0, 1)
+
+    def step(carry, xp_step):
+        h, c = carry
+        z = xp_step + singular_recurrent_product(p, h)
+        h, c = gate_update(z, c)
+        return (h, c), h
+
+    (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), xp_t)
+    h_seq = jnp.swapaxes(h_seq, 0, 1)
+    if return_state:
+        return h_seq, (hT, cT)
+    return h_seq
+
+
+def singular_lstm_apply(
+    params: SingularModelParams,
+    x_seq: jax.Array,
+    return_sequences: bool = True,
+) -> jax.Array:
+    h = x_seq
+    for layer in params.layers:
+        h = singular_layer_apply(layer, h)
+    if not return_sequences:
+        h = h[:, -1]
+    return h @ params.head.w + params.head.b

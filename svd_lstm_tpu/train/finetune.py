@@ -1,0 +1,106 @@
+"""Singular-model fine-tuning with Hoyer + orthogonality regularization.
+
+Reproduces the reference fine-tune stage (code/svd_acceleration_v3.py:117-128):
+after factorization, retrain with
+
+* MSE on window-end targets,
+* a Hoyer (L1/L2) penalty on every σ vector, driving trailing singular
+  values toward zero (reference HoyerRegularizer applied to
+  kernel/recurrent_kernel, code/svd_classes_v3.py:39,47),
+* optionally an orthogonality penalty on the U/V factor matrices, in which
+  case the factors train too (reference code/svd_classes_v3.py:513-518).
+
+Gradient routing replaces the reference's per-weight ``trainable`` flags:
+an optax mask zeroes updates for frozen leaves. σ vectors and the dense head
+always train; factors and biases train only when ``train_uv``
+(reference code/svd_classes_v3.py:51-112).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+
+from svd_lstm_tpu.config import FactorConfig, TrainConfig
+from svd_lstm_tpu.factor.regularizers import hoyer_penalty, orthogonal_penalty
+from svd_lstm_tpu.models.singular import SingularLayerParams, SingularModelParams
+from svd_lstm_tpu.models.singular import singular_lstm_apply
+from svd_lstm_tpu.train.loop import TrainResult, fit
+
+
+def regularization_loss(params: SingularModelParams, cfg: FactorConfig):
+    """Σ layers: hoyer(σ_w) + hoyer(σ_u) [+ orthogonal(U/V factors)]."""
+    total = 0.0
+    for layer in params.layers:
+        if cfg.hoyer:
+            total = total + hoyer_penalty(layer.ws, cfg.hoyer)
+            total = total + hoyer_penalty(layer.us, cfg.hoyer)
+        if cfg.orthogonal:
+            for m in (layer.wl, layer.wr, layer.ul, layer.ur):
+                total = total + orthogonal_penalty(m, cfg.orthogonal, mode="rows")
+    return total
+
+
+def trainable_mask(params: SingularModelParams, train_uv: bool) -> Any:
+    """Pytree of bools: True = receives updates."""
+    def mask_layer(layer: SingularLayerParams) -> SingularLayerParams:
+        return SingularLayerParams(
+            wl=train_uv, ws=True, wr=train_uv,
+            ul=train_uv, us=True, ur=train_uv,
+            b=train_uv,
+        )
+
+    return SingularModelParams(
+        layers=tuple(mask_layer(l) for l in params.layers),
+        head=type(params.head)(w=True, b=True),
+    )
+
+
+def make_finetune_optimizer(
+    params: SingularModelParams, cfg: FactorConfig, learning_rate: float = 1e-3
+) -> optax.GradientTransformation:
+    train_uv = cfg.train_uv or bool(cfg.orthogonal)
+    mask = trainable_mask(params, train_uv)
+    frozen = jax.tree.map(lambda t: not t, mask)
+    return optax.chain(
+        optax.adam(learning_rate),
+        optax.masked(optax.set_to_zero(), frozen),
+    )
+
+
+def finetune(
+    sparams: SingularModelParams,
+    X_train,
+    y_train,
+    factor_cfg: FactorConfig = FactorConfig(),
+    train_cfg: TrainConfig | None = None,
+    verbose: bool = False,
+) -> TrainResult:
+    if train_cfg is None:
+        train_cfg = TrainConfig(
+            epochs=factor_cfg.finetune_epochs,
+            batch_size=factor_cfg.finetune_batch_size,
+        )
+    optimizer = make_finetune_optimizer(sparams, factor_cfg, train_cfg.learning_rate)
+    return fit(
+        sparams,
+        X_train,
+        y_train,
+        cfg=train_cfg,
+        apply_fn=singular_lstm_apply,
+        optimizer=optimizer,
+        loss_extra=lambda p: regularization_loss(p, factor_cfg),
+        verbose=verbose,
+    )
+
+
+def harvest_sigmas(sparams: SingularModelParams):
+    """Snapshot every layer's (σ_w, σ_u) — the reference collects these after
+    fine-tuning (code/svd_acceleration_v3.py:129-132)."""
+    import numpy as np
+
+    return [
+        (np.asarray(l.ws), np.asarray(l.us)) for l in sparams.layers
+    ]

@@ -1,0 +1,119 @@
+"""Full-model windowed-BPTT trainer.
+
+Reproduces the reference training scheme (code/train_full_model_v4.py:98-126):
+sample ``num_windows`` random windows of ``window_len`` steps, adam + MSE on
+the window-end target, ``epochs`` passes — plus the v1 trainer's only fault
+tolerance, NaN-loss detection with rollback to the last good parameters
+(reference old_versions/train_full_model.py:125-136).
+
+TPU-first: one jitted ``train_step`` (value_and_grad over the scan-based
+forward), static batch shapes, donated params/opt-state to keep everything
+on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from svd_lstm_tpu.config import TrainConfig
+from svd_lstm_tpu.data.batcher import split_train_random, window_epoch_iterator
+from svd_lstm_tpu.models.lstm import StackedLSTMParams, stacked_lstm_apply
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: Any
+    history: list          # per-epoch mean loss
+    rollbacks: int = 0     # NaN-rollback count
+
+
+def mse_last_step(params, x, y, apply_fn) -> jax.Array:
+    pred = apply_fn(params, x, return_sequences=False)[..., 0]
+    return jnp.mean(jnp.square(pred - y))
+
+
+def fit(
+    params: Any,
+    X_train: np.ndarray,
+    y_train: np.ndarray,
+    cfg: TrainConfig = TrainConfig(),
+    apply_fn: Callable = stacked_lstm_apply,
+    optimizer: optax.GradientTransformation | None = None,
+    loss_extra: Callable | None = None,
+    verbose: bool = False,
+) -> TrainResult:
+    """Train ``params`` on random windows of the (1, T, d) training run.
+
+    ``loss_extra(params) -> scalar`` lets callers add regularization terms
+    (used by the singular fine-tune).
+    """
+    # Fresh buffers: the jitted step donates its inputs, and donating the
+    # caller's arrays would invalidate them outside this function.
+    params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+    if optimizer is None:
+        optimizer = optax.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+
+    if loss_extra is None:
+        loss_fn = mse_last_step
+    else:
+        def loss_fn(p, x, y, f):
+            return mse_last_step(p, x, y, f) + loss_extra(p)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(p, s, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y, apply_fn)
+        updates, s = optimizer.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return p, s, loss
+
+    X_mini, y_mini = split_train_random(
+        X_train, y_train, cfg.num_windows, cfg.window_len, seed=cfg.seed
+    )
+
+    last_good = jax.device_get(params)
+    history = []
+    rollbacks = 0
+    for epoch in range(cfg.epochs):
+        losses = []
+        for xb, yb in window_epoch_iterator(
+            X_mini, y_mini, cfg.batch_size, seed=cfg.seed + epoch
+        ):
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(xb), jnp.asarray(yb)
+            )
+            losses.append(loss)
+        epoch_loss = float(jnp.mean(jnp.stack(losses)))
+        if cfg.nan_rollback and not np.isfinite(epoch_loss):
+            # reference old_versions/train_full_model.py:133-136: reload the
+            # last checkpoint and keep going.
+            params = jax.tree.map(jnp.asarray, last_good)
+            opt_state = optimizer.init(params)
+            rollbacks += 1
+            if verbose:
+                print(f"epoch {epoch}: NaN loss — rolled back")
+            continue
+        last_good = jax.device_get(params)
+        history.append(epoch_loss)
+        if verbose:
+            print(f"epoch {epoch}: loss {epoch_loss:.6f}")
+    return TrainResult(params=params, history=history, rollbacks=rollbacks)
+
+
+def predict_full_run(
+    params: Any,
+    X: np.ndarray,
+    apply_fn: Callable = stacked_lstm_apply,
+) -> np.ndarray:
+    """Whole-run sequence prediction, (1, T, d) -> (T,) — the reference's
+    return_sequences=True evaluation clone (code/train_full_model_v4.py:129-141)."""
+    f = jax.jit(lambda p, x: apply_fn(p, x, return_sequences=True))
+    out = f(params, jnp.asarray(X))
+    return np.asarray(out)[0, :, 0]

@@ -1,0 +1,34 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual XLA devices so multi-chip sharding code is
+exercised without TPU hardware (the driver separately dry-runs the multichip
+path). Env must be set before jax initializes its backends.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+REFERENCE_DIR = os.environ.get("REFERENCE_DIR", "/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    """Path to the upstream reference checkout; tests that golden-check
+    against its shipped CSV fixtures skip when it is absent."""
+    if not os.path.isdir(os.path.join(REFERENCE_DIR, "code")):
+        pytest.skip("reference checkout not available")
+    return REFERENCE_DIR
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,160 @@
+"""Factorization correctness: singular == dense, reduced == dense (no
+truncation), two-step exactness, Eckart–Young, regularizer values."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from svd_lstm_tpu.factor.regularizers import hoyer_penalty, orthogonal_penalty
+from svd_lstm_tpu.factor.svd import (
+    get_model_singular_values,
+    make_reduced_model,
+    make_singular_model,
+    reduce_matrix_rank,
+    reduce_two_step,
+    set_model_matrix_rank,
+    two_step_factors,
+)
+from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
+from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+from svd_lstm_tpu.models.singular import singular_lstm_apply
+
+
+@pytest.fixture(scope="module")
+def dense_model():
+    return init_stacked_lstm(jax.random.PRNGKey(42), input_dim=16, units=(20, 20))
+
+
+@pytest.fixture(scope="module")
+def x_seq():
+    rng = np.random.default_rng(7)
+    return jnp.asarray(rng.normal(size=(2, 40, 16)), jnp.float32)
+
+
+class TestSingularReconstruction:
+    @pytest.mark.parametrize("merged", [True, False])
+    def test_singular_equals_dense(self, dense_model, x_seq, merged):
+        """SVD factorization is exact ⇒ singular forward == dense forward."""
+        smodel = make_singular_model(dense_model, merged_kernel=merged)
+        y_dense = np.asarray(stacked_lstm_apply(dense_model, x_seq))
+        y_sing = np.asarray(singular_lstm_apply(smodel, x_seq))
+        np.testing.assert_allclose(y_sing, y_dense, atol=5e-5)
+
+    @pytest.mark.parametrize("merged", [True, False])
+    def test_reduced_no_truncation_equals_dense(self, dense_model, x_seq, merged):
+        """cutoff below every σ ⇒ two-step reconstruction is exact."""
+        smodel = make_singular_model(dense_model, merged_kernel=merged)
+        rmodel = make_reduced_model(smodel, cutoff=0.0)
+        y_dense = np.asarray(stacked_lstm_apply(dense_model, x_seq))
+        y_red = np.asarray(reduced_lstm_apply(rmodel, x_seq))
+        np.testing.assert_allclose(y_red, y_dense, atol=5e-4)
+
+    def test_mild_truncation_close(self, dense_model, x_seq):
+        smodel = make_singular_model(dense_model, merged_kernel=False)
+        rmodel = make_reduced_model(smodel, cutoff=0.05)
+        y_dense = np.asarray(stacked_lstm_apply(dense_model, x_seq))
+        y_red = np.asarray(reduced_lstm_apply(rmodel, x_seq))
+        # random orthogonal-init recurrent kernels have σ ≈ 1 ≫ 0.05, so only
+        # the glorot input kernels lose tiny components
+        assert np.abs(y_red - y_dense).max() < 0.1
+
+    def test_weight_count_drops_with_rank(self, dense_model):
+        smodel = make_singular_model(dense_model, merged_kernel=False)
+        full = make_reduced_model(smodel, cutoff=0.0)
+        r5 = make_reduced_model(smodel, rank=5)
+        assert r5.layers[0].weight_count() < full.layers[0].weight_count()
+
+    def test_slide9_weight_formula(self):
+        """Reduced two-step gate of shape m×n at rank r stores
+        r·m + r·(n−r) weights (slide 9)."""
+        rng = np.random.default_rng(0)
+        m, n, r = 30, 30, 20
+        B, C = two_step_factors(rng.normal(size=(m, n)), r)
+        assert B.size + C.size == r * m + r * (n - r)
+
+
+class TestTwoStep:
+    def test_exact_when_low_rank(self, rng):
+        m, n, r = 12, 20, 5
+        A = rng.normal(size=(m, r)) @ rng.normal(size=(r, n))
+        B, C = two_step_factors(A, r)
+        x = rng.normal(size=(3, m))
+        z = np.concatenate([x @ B, (x @ B) @ C], axis=1)
+        np.testing.assert_allclose(z, x @ A, atol=1e-9)
+
+    def test_row_convention_parity(self, rng):
+        """v1-API reduce_two_step: W@x two-step (reference
+        old_versions/svd_classes.py:69-101 usage pattern)."""
+        n, r = 15, 6
+        W = rng.normal(size=(n, r)) @ rng.normal(size=(r, n))
+        D, E = reduce_two_step(W, r)
+        x = rng.normal(size=(n, 1))
+        top = D @ x
+        full = np.concatenate([top, E @ top], axis=0)
+        np.testing.assert_allclose(full, W @ x, atol=1e-9)
+
+    def test_eckart_young(self, rng):
+        """‖A − A_r‖_F² = Σ_{i>r} σ_i² (slide 5)."""
+        A = rng.normal(size=(20, 30))
+        s = np.linalg.svd(A, compute_uv=False)
+        for r in [1, 5, 15]:
+            Ar = reduce_matrix_rank(A, r)
+            err = np.linalg.norm(A - Ar, "fro") ** 2
+            np.testing.assert_allclose(err, np.sum(s[r:] ** 2), rtol=1e-9)
+
+
+class TestRankUtilities:
+    def test_get_singular_values_shape(self, dense_model):
+        sv = get_model_singular_values(dense_model)
+        assert sv.shape == (2, 2, 4, 20)
+        assert (sv >= 0).all()
+        # W blocks of layer 0 are 16×20 → only 16 nonzero σ
+        assert np.allclose(sv[0, 0, :, 16:], 0.0)
+
+    def test_set_model_matrix_rank(self, dense_model, x_seq):
+        out = set_model_matrix_rank(dense_model, (1, 1, 2), rank=3)
+        n = 20
+        blk = np.asarray(out.layers[1].U)[:, 2 * n : 3 * n]
+        assert np.linalg.matrix_rank(blk, tol=1e-4) == 3
+        # other blocks untouched
+        np.testing.assert_array_equal(
+            np.asarray(out.layers[1].U)[:, :n], np.asarray(dense_model.layers[1].U)[:, :n]
+        )
+        # model still runs
+        y = stacked_lstm_apply(out, x_seq)
+        assert np.isfinite(np.asarray(y)).all()
+
+
+class TestRegularizers:
+    def test_hoyer_value(self):
+        x = jnp.asarray([1.0, -2.0, 3.0])
+        expected = 0.01 * 6.0 / 14.0
+        assert float(hoyer_penalty(x, 0.01)) == pytest.approx(expected, rel=1e-6)
+
+    def test_hoyer_scale_invariant(self):
+        x = jnp.asarray([1.0, 2.0, 0.5, 4.0])
+        a = float(hoyer_penalty(x, 1.0))
+        b = float(hoyer_penalty(10.0 * x, 1.0))
+        assert b == pytest.approx(a / 10.0, rel=1e-5)
+
+    def test_hoyer_safe_at_zero(self):
+        assert np.isfinite(float(hoyer_penalty(jnp.zeros(5), 1.0)))
+
+    def test_orthogonal_zero_for_orthogonal(self):
+        q, _ = np.linalg.qr(np.random.default_rng(0).normal(size=(10, 10)))
+        val = float(orthogonal_penalty(jnp.asarray(q, jnp.float32), factor=1.0))
+        assert val < 1e-5
+
+    def test_orthogonal_positive_for_correlated(self):
+        m = jnp.ones((4, 6))
+        assert float(orthogonal_penalty(m, factor=1.0)) > 0.4
+
+    def test_orthogonal_matches_keras_formula(self, rng):
+        m = rng.normal(size=(5, 8))
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        gram = mn @ mn.T
+        off = np.abs(gram - np.diag(np.diag(gram))).sum()
+        expected = 0.5 * off / (5 * 4 / 2.0)
+        got = float(orthogonal_penalty(jnp.asarray(m, jnp.float32), factor=1.0))
+        assert got == pytest.approx(expected, rel=1e-4)

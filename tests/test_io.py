@@ -1,0 +1,60 @@
+"""CSV weight I/O: roundtrip + golden-load of the reference's shipped
+model_weights fixtures (the 3×15-unit LabVIEW export)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from svd_lstm_tpu.io.csv_weights import (
+    load_model_from_csv,
+    save_model_weights_as_csv,
+)
+from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
+
+
+class TestRoundtrip:
+    def test_save_load(self, tmp_path):
+        params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=4, units=(6, 5))
+        save_model_weights_as_csv(params, str(tmp_path))
+        loaded = load_model_from_csv(str(tmp_path), transposed=False)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+class TestGoldenFixtures:
+    def test_load_reference_model_weights(self, reference_dir, rng):
+        """The shipped lstm_{69,70,71} + dense_top CSVs must assemble into a
+        runnable 3×15-unit, 16-input model (reference pasteboard.py:94 calls
+        it '400us3cells15units')."""
+        path = os.path.join(reference_dir, "code", "model_weights")
+        params = load_model_from_csv(
+            path, layer_dirs=["lstm_69", "lstm_70", "lstm_71"], transposed=True
+        )
+        assert len(params.layers) == 3
+        assert params.layers[0].W.shape == (16, 60)
+        assert params.layers[1].W.shape == (15, 60)
+        assert params.layers[2].U.shape == (15, 60)
+        assert params.head.w.shape == (15, 1)
+
+        x = jnp.asarray(rng.normal(size=(1, 20, 16)), jnp.float32)
+        y = stacked_lstm_apply(params, x)
+        assert y.shape == (1, 20, 1)
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_reference_preprocessed_series_stats(self, reference_dir):
+        """Golden sanity on the shipped preprocessed series: 400 µs clock,
+        standardized pin signal."""
+        t = np.loadtxt(
+            os.path.join(reference_dir, "code", "preprocessed_DROPBEAR_t.csv"),
+            delimiter=",",
+        )
+        y = np.loadtxt(
+            os.path.join(reference_dir, "code", "preprocessed_DROPBEAR_y.csv"),
+            delimiter=",",
+        )
+        assert t.shape == y.shape == (106450,)
+        np.testing.assert_allclose(np.diff(t).mean(), 4e-4, rtol=1e-3)
+        assert abs(y.mean()) < 1e-3 and abs(y.std() - 1.0) < 1e-3

@@ -1,0 +1,119 @@
+"""Training loop, fine-tune gradient routing, NaN rollback, checkpointing."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from svd_lstm_tpu.config import FactorConfig, TrainConfig
+from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+from svd_lstm_tpu.io.checkpoint import load_params, save_params
+from svd_lstm_tpu.models.lstm import init_stacked_lstm
+from svd_lstm_tpu.train.finetune import finetune, harvest_sigmas, regularization_loss
+from svd_lstm_tpu.train.loop import fit, predict_full_run
+
+
+@pytest.fixture(scope="module")
+def tiny_run():
+    """A learnable synthetic run: y = smoothed first feature."""
+    rng = np.random.default_rng(3)
+    T, d = 600, 4
+    x = rng.normal(size=(T, d)).astype(np.float32)
+    kernel = np.exp(-np.arange(20) / 5.0)
+    y = np.convolve(x[:, 0], kernel / kernel.sum(), mode="same").astype(np.float32)
+    return x[None], y
+
+
+def _small_cfg(**kw):
+    base = dict(num_windows=256, window_len=20, batch_size=32, epochs=3, seed=0)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+class TestFit:
+    def test_loss_decreases(self, tiny_run):
+        X, y = tiny_run
+        params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=4, units=(8,))
+        res = fit(params, X, y, cfg=_small_cfg(epochs=4))
+        assert len(res.history) == 4
+        assert res.history[-1] < res.history[0]
+        assert res.rollbacks == 0
+
+    def test_nan_rollback_restores_params(self, tiny_run):
+        X, y = tiny_run
+        params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=4, units=(8,))
+        res = fit(
+            params, X, y, cfg=_small_cfg(epochs=2),
+            loss_extra=lambda p: jnp.float32(jnp.nan),
+        )
+        # every epoch NaNs out -> rolled back each time, params preserved
+        assert res.rollbacks == 2
+        assert res.history == []
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(res.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_predict_full_run_shape(self, tiny_run):
+        X, y = tiny_run
+        params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=4, units=(8,))
+        pred = predict_full_run(params, X)
+        assert pred.shape == (X.shape[1],)
+        assert np.isfinite(pred).all()
+
+
+class TestFinetune:
+    @pytest.fixture(scope="class")
+    def smodel(self):
+        dense = init_stacked_lstm(jax.random.PRNGKey(1), input_dim=4, units=(8, 8))
+        return make_singular_model(dense, merged_kernel=False)
+
+    def test_sigma_only_updates(self, smodel, tiny_run):
+        X, y = tiny_run
+        cfg = FactorConfig(hoyer=0.01, orthogonal=0.0, train_uv=False)
+        res = finetune(smodel, X, y, cfg, TrainConfig(num_windows=64, window_len=20, epochs=1))
+        new = res.params
+        for old_l, new_l in zip(smodel.layers, new.layers):
+            # frozen: factors + bias
+            for f in ("wl", "wr", "ul", "ur", "b"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(old_l, f)), np.asarray(getattr(new_l, f))
+                )
+            # trained: sigmas
+            assert not np.allclose(np.asarray(old_l.ws), np.asarray(new_l.ws))
+            assert not np.allclose(np.asarray(old_l.us), np.asarray(new_l.us))
+
+    def test_train_uv_updates_factors(self, smodel, tiny_run):
+        X, y = tiny_run
+        cfg = FactorConfig(hoyer=0.01, orthogonal=0.01)  # orthogonal>0 => train_uv
+        res = finetune(smodel, X, y, cfg, TrainConfig(num_windows=64, window_len=20, epochs=1))
+        l0_old, l0_new = smodel.layers[0], res.params.layers[0]
+        assert not np.allclose(np.asarray(l0_old.wl), np.asarray(l0_new.wl))
+
+    def test_regularization_loss_finite_positive(self, smodel):
+        val = float(regularization_loss(smodel, FactorConfig(hoyer=0.01, orthogonal=0.01)))
+        assert np.isfinite(val) and val > 0
+
+    def test_harvest_sigmas(self, smodel):
+        sigmas = harvest_sigmas(smodel)
+        assert len(sigmas) == 2
+        assert sigmas[0][0].shape == (4, 4)   # split: (gates, k=min(d,n))
+        assert sigmas[0][1].shape == (4, 8)
+
+
+class TestCheckpoint:
+    @pytest.mark.parametrize("kind", ["dense", "singular", "reduced"])
+    def test_roundtrip(self, tmp_path, kind):
+        dense = init_stacked_lstm(jax.random.PRNGKey(2), input_dim=4, units=(6, 6))
+        if kind == "dense":
+            params = dense
+        elif kind == "singular":
+            params = make_singular_model(dense, merged_kernel=False)
+        else:
+            params = make_reduced_model(
+                make_singular_model(dense, merged_kernel=False), rank=3
+            )
+        path = str(tmp_path / f"{kind}.npz")
+        save_params(path, params)
+        loaded = load_params(path)
+        assert type(loaded) is type(params)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
