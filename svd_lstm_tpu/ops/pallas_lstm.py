@@ -1,28 +1,33 @@
 """Pallas TPU kernels for the LSTM recurrence — the component the reference
 could not deliver: its compressed model ran ~1.3× SLOWER in Python/Keras
 (reference plots/timing_plot.png, slide 15). Here the whole sequential
-recurrence runs inside a single kernel with the recurrent weights and the
-(h, c) state resident in VMEM for the entire sequence, so the per-step cost
-is one small matvec chain with zero HBM traffic and zero per-step dispatch.
+recurrence runs inside one kernel with the recurrent weights and the (h, c)
+state resident in VMEM across the entire sequence.
 
-Two kernel families:
+Layout ("P-layout"): every gate is padded to its own 128-lane-aligned block.
 
-* ``lstm_recurrence_pallas`` / ``reduced_recurrence_pallas`` — one layer's
-  h-side recurrence, consuming a precomputed input projection ``xp``
-  (the x-side is one big MXU matmul done by XLA outside the kernel);
-* ``fused_dense_stack_pallas`` / ``fused_reduced_stack_pallas`` — the whole
-  stacked model + dense head for batch-1 streaming inference in ONE kernel
-  (every weight of every layer stays in VMEM across all T steps). This is
-  the real-time deployment path (reference
-  code/old_versions/svd_classes.py:104-119 is its per-sample Python loop).
+* state h, c: (1, NP) with NP = ceil(n/128)*128 — only the first n lanes are
+  live;
+* gate pre-activations z: (1, 4*NPg) with gate g in lanes
+  [g*NPg, g*NPg + n) — so the i/f/g/o extraction is a tile-aligned lane
+  slice. Mosaic handles unaligned lane slices combined with dynamic row
+  reads pathologically (~1000× measured on v5e); alignment avoids it.
 
-All kernels are f32, batch-1 (the latency path the reference benchmarks and
-the LabVIEW export targets); batched throughput inference uses the XLA scan
-path in ``svd_lstm_tpu.ops.recurrence`` which the MXU already serves well.
+The time axis streams through the kernel in CT-step chunks via the Pallas
+grid (TPU grids execute sequentially on a core, so VMEM scratch carries the
+recurrent state across chunks and input/output blocks are double-buffered
+against HBM automatically).
 
-Shapes here are tiny (d=16, n=40, 4n=160 — far below the 128×128 MXU tile),
-so the win comes from fusion + residency, not matmul throughput
-(SURVEY.md §7 hard part (b)).
+Reduced (low-rank) recurrence uses the folded two-step form: the exact
+two-step product z = [hB, (hB)·C] equals (h·B)·[I|C] with [I|C] precomputed
+(reference two-step: code/svd_classes_v3.py:317-328; the fold is exact and
+removes all in-kernel concatenation). Column order is preserved, so gate
+extraction is unchanged.
+
+All kernels are batch-1 (the latency path the reference benchmarks,
+code/svd_acceleration_v3.py:147-152, and the LabVIEW real-time deployment
+targets); batched throughput inference uses the XLA scan path, which the
+MXU serves well at large batch.
 """
 
 from __future__ import annotations
@@ -32,155 +37,235 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from svd_lstm_tpu.models.lstm import StackedLSTMParams
 from svd_lstm_tpu.models.reduced import ReducedModelParams
 
-_MAX_RESIDENT_T = 32768  # (T,4n) f32 xp must fit VMEM alongside weights
+LANE = 128
+DEFAULT_CT = 512
 
 
-def _gates(z: jax.Array, c: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
-    """z: (1, 4n) pre-activations [i|f|c|o]; returns (h, c)."""
-    i = jax.nn.sigmoid(z[:, :n])
-    f = jax.nn.sigmoid(z[:, n : 2 * n])
-    g = jnp.tanh(z[:, 2 * n : 3 * n])
-    o = jax.nn.sigmoid(z[:, 3 * n :])
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# host-side packing into P-layout (runs under jit; ops are tiny & one-shot)
+# ---------------------------------------------------------------------------
+
+def pad_gate_cols(M: jax.Array, n: int, npg: int) -> jax.Array:
+    """(rows, 4n) -> (rows, 4*npg), gate g at lanes [g*npg, g*npg+n)."""
+    rows = M.shape[0]
+    out = jnp.zeros((rows, 4 * npg), M.dtype)
+    for g in range(4):
+        out = out.at[:, g * npg : g * npg + n].set(M[:, g * n : (g + 1) * n])
+    return out
+
+
+def pad_rows(M: jax.Array, rows: int) -> jax.Array:
+    out = jnp.zeros((rows, M.shape[1]), M.dtype)
+    return out.at[: M.shape[0]].set(M)
+
+
+def pad_cols(M: jax.Array, cols: int) -> jax.Array:
+    out = jnp.zeros((M.shape[0], cols), M.dtype)
+    return out.at[:, : M.shape[1]].set(M)
+
+
+def fold_IC(B: jax.Array, C: jax.Array) -> jax.Array:
+    """[I | C]: (r, r + C.cols). (h@B) @ [I|C] == concat(h@B, (h@B)@C)."""
+    r = B.shape[1]
+    eye = jnp.eye(r, dtype=B.dtype)
+    return jnp.concatenate([eye, C], axis=1) if C.shape[1] else eye
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+def _gates_p(z: jax.Array, c: jax.Array, npg: int) -> Tuple[jax.Array, jax.Array]:
+    """z: (1, 4*npg) P-layout; c: (1, npg)."""
+    i = jax.nn.sigmoid(z[:, 0:npg])
+    f = jax.nn.sigmoid(z[:, npg : 2 * npg])
+    g = jnp.tanh(z[:, 2 * npg : 3 * npg])
+    o = jax.nn.sigmoid(z[:, 3 * npg :])
     c_new = f * c + i * g
     return o * jnp.tanh(c_new), c_new
 
 
-def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
+def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _pad_state(s: jax.Array | None, n: int, npg: int) -> jax.Array:
+    """(1, n) or None -> (1, npg)."""
+    if s is None:
+        return jnp.zeros((1, npg), jnp.float32)
+    return pad_cols(s.reshape(1, n).astype(jnp.float32), npg)
+
+
+def _recurrence_call(kernel, T: int, CT: int, npg: int, weights, xp, scratch, interpret):
+    """Common pallas_call plumbing: xp (T,4npg) streamed in CT chunks, h_seq
+    (T, npg) streamed out, `weights` (incl. initial state) resident, state
+    scratch persisting across the sequential grid."""
+    Tp = _ceil_to(T, CT)
+    if Tp != T:
+        xp = jnp.concatenate([xp, jnp.zeros((Tp - T, xp.shape[1]), xp.dtype)], axis=0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Tp // CT,),
+        out_shape=jax.ShapeDtypeStruct((Tp, npg), jnp.float32),
+        in_specs=[pl.BlockSpec((CT, 4 * npg), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
+        out_specs=pl.BlockSpec((CT, npg), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(xp, *weights)
+    return out[:T]
+
+
 # ---------------------------------------------------------------------------
-# single-layer recurrence kernels
+# single-layer recurrence (consumes hoisted input projection)
 # ---------------------------------------------------------------------------
 
 def lstm_recurrence_pallas(
-    xp: jax.Array,  # (T, 4n) input projection incl. bias
+    xp: jax.Array,  # (T, 4n) input projection incl. bias (unpadded layout)
     U: jax.Array,   # (n, 4n)
-    h0: jax.Array,  # (1, n)
-    c0: jax.Array,  # (1, n)
+    h0: jax.Array | None = None,
+    c0: jax.Array | None = None,
+    ct: int = DEFAULT_CT,
     interpret: bool = False,
 ) -> jax.Array:
-    """Dense h-side recurrence in one kernel; returns h_seq (T, n)."""
+    """Dense h-side recurrence; returns h_seq (T, n)."""
     T, g4 = xp.shape
     n = U.shape[0]
-    assert g4 == 4 * n and T <= _MAX_RESIDENT_T
+    assert g4 == 4 * n
+    npg = _ceil_to(n, LANE)
+
+    xp_p = pad_gate_cols(xp, n, npg)
+    U_p = pad_rows(pad_gate_cols(U, n, npg), npg)
+    h0_p = _pad_state(h0, n, npg)
+    c0_p = _pad_state(c0, n, npg)
+    CT = min(ct, _ceil_to(T, 8))
 
     def kernel(xp_ref, u_ref, h0_ref, c0_ref, out_ref, h_scr, c_scr):
-        h_scr[:] = h0_ref[:]
-        c_scr[:] = c0_ref[:]
-        u = u_ref[:]
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            h_scr[:] = h0_ref[:]
+            c_scr[:] = c0_ref[:]
 
         def body(t, _):
-            z = xp_ref[pl.ds(t, 1), :] + _dot(h_scr[:], u)
-            h, c = _gates(z, c_scr[:], n)
+            z = xp_ref[pl.ds(t, 1), :] + _dot(h_scr[:], u_ref[:])
+            h, c = _gates_p(z, c_scr[:], npg)
             h_scr[:] = h
             c_scr[:] = c
             out_ref[pl.ds(t, 1), :] = h
             return 0
 
-        jax.lax.fori_loop(0, T, body, 0)
+        jax.lax.fori_loop(0, CT, body, 0)
 
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((T, n), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((1, n), jnp.float32),
-            pltpu.VMEM((1, n), jnp.float32),
-        ],
-        interpret=interpret,
-    )(xp, U, h0, c0)
+    h_seq = _recurrence_call(
+        kernel, T, CT, npg, [U_p, h0_p, c0_p], xp_p,
+        [pltpu.VMEM((1, npg), jnp.float32)] * 2, interpret,
+    )
+    return h_seq[:, :n]
 
 
 def reduced_recurrence_pallas(
     xp: jax.Array,
     uB,  # merged: (n, r); split: tuple of 4 (n, r_g)
     uC,  # merged: (r, 4n-r); split: tuple of 4 (r_g, n-r_g)
-    h0: jax.Array,
-    c0: jax.Array,
+    h0: jax.Array | None = None,
+    c0: jax.Array | None = None,
+    ct: int = DEFAULT_CT,
     interpret: bool = False,
 ) -> jax.Array:
-    """Two-step low-rank h-side recurrence in one kernel.
-
-    The two-step product writes straight into a (1, 4n) scratch using static
-    column slices instead of concatenation: z[:r] = h@B, z[r:] = (h@B)@C —
-    column order matches the dense gate order exactly (V₁ columns first), so
-    gate math is unchanged.
-    """
+    """Low-rank h-side recurrence via the folded (h@B)@[I|C] form."""
     T, g4 = xp.shape
     n = g4 // 4
+    npg = _ceil_to(n, LANE)
     split = isinstance(uB, tuple)
-    assert T <= _MAX_RESIDENT_T
 
-    # Zero-width C matrices (full-rank gates) are skipped entirely — the
-    # interpreter and Mosaic both reject 0-width operands.
-    Bs = tuple(uB) if split else (uB,)
-    Cs = tuple(uC) if split else (uC,)
-    ranks = tuple(b.shape[1] for b in Bs)
-    c_index = {}  # gate -> position within the C-operand block
-    c_ops = []
-    for g, C in enumerate(Cs):
-        if C.shape[1] > 0:
-            c_index[g] = len(c_ops)
-            c_ops.append(C)
-    ops = list(Bs) + c_ops
-    nB = len(Bs)
+    xp_p = pad_gate_cols(xp, n, npg)
+    h0_p = _pad_state(h0, n, npg)
+    c0_p = _pad_state(c0, n, npg)
+    CT = min(ct, _ceil_to(T, 8))
 
-    def kernel(*refs):
-        xp_ref = refs[0]
-        w_refs = refs[1 : 1 + len(ops)]
-        h0_ref, c0_ref = refs[1 + len(ops) : 3 + len(ops)]
-        out_ref = refs[3 + len(ops)]
-        h_scr, c_scr, z_scr = refs[4 + len(ops) :]
+    if split:
+        # per gate: B (npg, rp_g), [I|C] (rp_g, npg)
+        weights = []
+        for g in range(4):
+            rp = _ceil_to(uB[g].shape[1], LANE)
+            weights.append(pad_rows(pad_cols(uB[g], rp), npg))
+            weights.append(pad_rows(pad_cols(fold_IC(uB[g], uC[g]), npg), rp))
+        weights += [h0_p, c0_p]
 
-        h_scr[:] = h0_ref[:]
-        c_scr[:] = c0_ref[:]
+        def kernel(xp_ref, *refs):
+            h0_ref, c0_ref = refs[8], refs[9]
+            out_ref = refs[10]
+            h_scr, c_scr, z_scr = refs[11], refs[12], refs[13]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                h_scr[:] = h0_ref[:]
+                c_scr[:] = c0_ref[:]
+
+            def body(t, _):
+                h = h_scr[:]
+                for g in range(4):
+                    hb = _dot(h, refs[2 * g][:])
+                    z_scr[:, g * npg : (g + 1) * npg] = _dot(hb, refs[2 * g + 1][:])
+                z = z_scr[:] + xp_ref[pl.ds(t, 1), :]
+                hn, cn = _gates_p(z, c_scr[:], npg)
+                h_scr[:] = hn
+                c_scr[:] = cn
+                out_ref[pl.ds(t, 1), :] = hn
+                return 0
+
+            jax.lax.fori_loop(0, CT, body, 0)
+
+        h_seq = _recurrence_call(
+            kernel, T, CT, npg, weights, xp_p,
+            [
+                pltpu.VMEM((1, npg), jnp.float32),
+                pltpu.VMEM((1, npg), jnp.float32),
+                pltpu.VMEM((1, 4 * npg), jnp.float32),
+            ],
+            interpret,
+        )
+        return h_seq[:, :n]
+
+    # merged: z = (h @ B) @ [I|C] with columns scattered to P-layout
+    rp = _ceil_to(uB.shape[1], LANE)
+    B_p = pad_rows(pad_cols(uB, rp), npg)
+    IC = fold_IC(uB, uC)  # (r, 4n), columns in original order
+    IC_p = pad_rows(pad_gate_cols(IC, n, npg), rp)
+
+    def kernel(xp_ref, b_ref, ic_ref, h0_ref, c0_ref, out_ref, h_scr, c_scr):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            h_scr[:] = h0_ref[:]
+            c_scr[:] = c0_ref[:]
 
         def body(t, _):
-            h = h_scr[:]
-            if split:
-                for g in range(4):
-                    r = ranks[g]
-                    hb = _dot(h, w_refs[g][:])             # (1, r_g)
-                    z_scr[:, g * n : g * n + r] = hb
-                    if g in c_index:
-                        z_scr[:, g * n + r : (g + 1) * n] = _dot(
-                            hb, w_refs[nB + c_index[g]][:]
-                        )
-            else:
-                r = ranks[0]
-                hb = _dot(h, w_refs[0][:])                 # (1, r)
-                z_scr[:, :r] = hb
-                if 0 in c_index:
-                    z_scr[:, r:] = _dot(hb, w_refs[nB + c_index[0]][:])
-            z = z_scr[:] + xp_ref[pl.ds(t, 1), :]
-            h_new, c_new = _gates(z, c_scr[:], n)
-            h_scr[:] = h_new
-            c_scr[:] = c_new
-            out_ref[pl.ds(t, 1), :] = h_new
+            hb = _dot(h_scr[:], b_ref[:])
+            z = _dot(hb, ic_ref[:]) + xp_ref[pl.ds(t, 1), :]
+            hn, cn = _gates_p(z, c_scr[:], npg)
+            h_scr[:] = hn
+            c_scr[:] = cn
+            out_ref[pl.ds(t, 1), :] = hn
             return 0
 
-        jax.lax.fori_loop(0, T, body, 0)
+        jax.lax.fori_loop(0, CT, body, 0)
 
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((T, n), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + len(ops)),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((1, n), jnp.float32),
-            pltpu.VMEM((1, n), jnp.float32),
-            pltpu.VMEM((1, 4 * n), jnp.float32),
-        ],
-        interpret=interpret,
-    )(xp, *ops, h0, c0)
+    h_seq = _recurrence_call(
+        kernel, T, CT, npg, [B_p, IC_p, h0_p, c0_p], xp_p,
+        [pltpu.VMEM((1, npg), jnp.float32)] * 2, interpret,
+    )
+    return h_seq[:, :n]
 
 
 # ---------------------------------------------------------------------------
@@ -188,157 +273,190 @@ def reduced_recurrence_pallas(
 # ---------------------------------------------------------------------------
 
 def fused_dense_stack_pallas(
-    params: StackedLSTMParams, x: jax.Array, interpret: bool = False
+    params: StackedLSTMParams,
+    x: jax.Array,
+    ct: int = DEFAULT_CT,
+    interpret: bool = False,
 ) -> jax.Array:
-    """Whole stacked model + head, one kernel. x: (T, d) -> y: (T, 1)."""
+    """Whole stacked model + head in one kernel. x: (T, d) -> y: (T, out).
+
+    Every layer's W/U/b stays VMEM-resident across all T steps; the head is
+    applied to the last layer's hidden sequence outside the kernel (one MXU
+    matmul)."""
     T, d = x.shape
     units = [l.units for l in params.layers]
     L = len(units)
-    assert T <= _MAX_RESIDENT_T
+    npgs = [_ceil_to(n, LANE) for n in units]
+    dp = _ceil_to(d, LANE)
 
-    ops = []
-    for l in params.layers:
-        ops += [l.W, l.U, l.b.reshape(1, -1)]
-    ops += [params.head.w, params.head.b.reshape(1, -1)]
+    x_p = pad_cols(x, dp)
+    weights = []
+    for i, l in enumerate(params.layers):
+        rows = dp if i == 0 else npgs[i - 1]
+        weights.append(pad_rows(pad_gate_cols(l.W, units[i], npgs[i]), rows))
+        weights.append(pad_rows(pad_gate_cols(l.U, units[i], npgs[i]), npgs[i]))
+        weights.append(pad_gate_cols(l.b.reshape(1, -1), units[i], npgs[i]))
 
-    def kernel(*refs):
-        x_ref = refs[0]
-        w_refs = refs[1 : 1 + 3 * L + 2]
-        out_ref = refs[1 + 3 * L + 2]
-        scr = refs[2 + 3 * L + 2 :]  # h0,c0,h1,c1,...
+    CT = min(ct, _ceil_to(T, 8))
+    Tp = _ceil_to(T, CT)
+    if Tp != T:
+        x_p = jnp.concatenate([x_p, jnp.zeros((Tp - T, dp), x_p.dtype)], axis=0)
 
-        for i in range(L):
-            scr[2 * i][:] = jnp.zeros_like(scr[2 * i])
-            scr[2 * i + 1][:] = jnp.zeros_like(scr[2 * i + 1])
+    def kernel(x_ref, *refs):
+        w_refs = refs[: 3 * L]
+        out_ref = refs[3 * L]
+        scr = refs[3 * L + 1 :]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for s in scr:
+                s[:] = jnp.zeros_like(s)
 
         def body(t, _):
             inp = x_ref[pl.ds(t, 1), :]
             for i in range(L):
-                W, U, b = w_refs[3 * i][:], w_refs[3 * i + 1][:], w_refs[3 * i + 2][:]
-                z = _dot(inp, W) + _dot(scr[2 * i][:], U) + b
-                h, c = _gates(z, scr[2 * i + 1][:], units[i])
+                z = (
+                    _dot(inp, w_refs[3 * i][:])
+                    + _dot(scr[2 * i][:], w_refs[3 * i + 1][:])
+                    + w_refs[3 * i + 2][:]
+                )
+                h, c = _gates_p(z, scr[2 * i + 1][:], npgs[i])
                 scr[2 * i][:] = h
                 scr[2 * i + 1][:] = c
                 inp = h
-            y = _dot(inp, w_refs[3 * L][:]) + w_refs[3 * L + 1][:]
-            out_ref[pl.ds(t, 1), :] = y
+            out_ref[pl.ds(t, 1), :] = inp
             return 0
 
-        jax.lax.fori_loop(0, T, body, 0)
+        jax.lax.fori_loop(0, CT, body, 0)
 
     scratch = []
-    for n in units:
-        scratch += [pltpu.VMEM((1, n), jnp.float32), pltpu.VMEM((1, n), jnp.float32)]
+    for npg in npgs:
+        scratch += [pltpu.VMEM((1, npg), jnp.float32)] * 2
 
-    return pl.pallas_call(
+    h_seq = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, params.head.w.shape[1]), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(ops)),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(Tp // CT,),
+        out_shape=jax.ShapeDtypeStruct((Tp, npgs[-1]), jnp.float32),
+        in_specs=[pl.BlockSpec((CT, dp), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
+        out_specs=pl.BlockSpec((CT, npgs[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(x, *ops)
+    )(x_p, *weights)
+    h_seq = h_seq[:T, : units[-1]]
+    return h_seq @ params.head.w + params.head.b
 
 
 def fused_reduced_stack_pallas(
-    params: ReducedModelParams, x: jax.Array, interpret: bool = False
+    params: ReducedModelParams,
+    x: jax.Array,
+    ct: int = DEFAULT_CT,
+    interpret: bool = False,
 ) -> jax.Array:
-    """Whole reduced (two-step) model + head, one kernel. x: (T, d) -> (T, 1)."""
+    """Whole reduced (folded two-step) model + head in one kernel.
+
+    Both the input-side and recurrent-side low-rank products run as
+    (v @ B) @ [I|C] pairs per layer (merged) or per gate (split)."""
     T, d = x.shape
     layers = params.layers
     units = [l.units for l in layers]
     L = len(layers)
-    assert T <= _MAX_RESIDENT_T
+    npgs = [_ceil_to(n, LANE) for n in units]
+    dp = _ceil_to(d, LANE)
 
-    # Flatten weights; record per-layer op layout. Each (B, C) pair becomes
-    # a B-operand index plus an optional C-operand index (None when the gate
-    # is full-rank — zero-width operands are rejected by Mosaic).
-    ops = []
-    layouts = []  # per layer: (pairs, bias_index); pairs: list of
-    #               (side, gate, B_idx, C_idx_or_None, rank)
+    x_p = pad_cols(x, dp)
 
-    def add_pair(B, C):
-        b_idx = len(ops)
-        ops.append(B)
-        c_idx = None
-        if C.shape[1] > 0:
-            c_idx = len(ops)
-            ops.append(C)
-        return b_idx, c_idx, B.shape[1]
-
-    for l in layers:
-        pairs = []
+    weights = []
+    layouts = []  # per layer: (split, first_index)
+    for i, l in enumerate(layers):
+        rows_in = dp if i == 0 else npgs[i - 1]
+        n = units[i]
+        npg = npgs[i]
+        first = len(weights)
         if l.split:
             for g in range(4):
-                pairs.append(("w", g, *add_pair(l.wB[g], l.wC[g])))
+                rp = _ceil_to(l.wB[g].shape[1], LANE)
+                weights.append(pad_rows(pad_cols(l.wB[g], rp), rows_in))
+                weights.append(pad_rows(pad_cols(fold_IC(l.wB[g], l.wC[g]), npg), rp))
             for g in range(4):
-                pairs.append(("u", g, *add_pair(l.uB[g], l.uC[g])))
+                rp = _ceil_to(l.uB[g].shape[1], LANE)
+                weights.append(pad_rows(pad_cols(l.uB[g], rp), npg))
+                weights.append(pad_rows(pad_cols(fold_IC(l.uB[g], l.uC[g]), npg), rp))
         else:
-            pairs.append(("w", None, *add_pair(l.wB, l.wC)))
-            pairs.append(("u", None, *add_pair(l.uB, l.uC)))
-        bias_index = len(ops)
-        ops.append(l.b.reshape(1, -1))
-        layouts.append((pairs, bias_index))
-    head_idx = len(ops)
-    ops += [params.head.w, params.head.b.reshape(1, -1)]
+            rpw = _ceil_to(l.wB.shape[1], LANE)
+            weights.append(pad_rows(pad_cols(l.wB, rpw), rows_in))
+            weights.append(pad_rows(pad_gate_cols(fold_IC(l.wB, l.wC), n, npg), rpw))
+            rpu = _ceil_to(l.uB.shape[1], LANE)
+            weights.append(pad_rows(pad_cols(l.uB, rpu), npgs[i]))
+            weights.append(pad_rows(pad_gate_cols(fold_IC(l.uB, l.uC), n, npg), rpu))
+        weights.append(pad_gate_cols(l.b.reshape(1, -1), n, npg))
+        layouts.append((l.split, first))
 
-    def kernel(*refs):
-        x_ref = refs[0]
-        w_refs = refs[1 : 1 + len(ops)]
-        out_ref = refs[1 + len(ops)]
-        scr = refs[2 + len(ops) :]
-        # scr layout: per layer h, c, zx, zu ; 4 per layer
-        for i in range(L):
-            scr[4 * i][:] = jnp.zeros_like(scr[4 * i])
-            scr[4 * i + 1][:] = jnp.zeros_like(scr[4 * i + 1])
+    CT = min(ct, _ceil_to(T, 8))
+    Tp = _ceil_to(T, CT)
+    if Tp != T:
+        x_p = jnp.concatenate([x_p, jnp.zeros((Tp - T, dp), x_p.dtype)], axis=0)
 
-        def two_step_into(z_scr, xvec, b_idx, c_idx, col0, r, width):
-            """z_scr[:, col0:col0+width] = [xvec@B, (xvec@B)@C]."""
-            xb = _dot(xvec, w_refs[b_idx][:])
-            z_scr[:, col0 : col0 + r] = xb
-            if c_idx is not None:
-                z_scr[:, col0 + r : col0 + width] = _dot(xb, w_refs[c_idx][:])
+    def kernel(x_ref, *refs):
+        w_refs = refs[: len(weights)]
+        out_ref = refs[len(weights)]
+        scr = refs[len(weights) + 1 :]
+        # scr: per layer [h, c, z] (z only used in split mode; cheap)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for i in range(L):
+                scr[3 * i][:] = jnp.zeros_like(scr[3 * i])
+                scr[3 * i + 1][:] = jnp.zeros_like(scr[3 * i + 1])
 
         def body(t, _):
             inp = x_ref[pl.ds(t, 1), :]
-            for i, (pairs, bias_index) in enumerate(layouts):
-                n = units[i]
-                h_scr, c_scr = scr[4 * i], scr[4 * i + 1]
-                zx, zu = scr[4 * i + 2], scr[4 * i + 3]
-                for side, g, b_idx, c_idx, r in pairs:
-                    z_scr = zx if side == "w" else zu
-                    vec = inp if side == "w" else h_scr[:]
-                    col0 = 0 if g is None else g * n
-                    width = 4 * n if g is None else n
-                    two_step_into(z_scr, vec, b_idx, c_idx, col0, r, width)
-                z = zx[:] + zu[:] + w_refs[bias_index][:]
-                h, c = _gates(z, c_scr[:], n)
+            for i, (split, first) in enumerate(layouts):
+                npg = npgs[i]
+                h_scr, c_scr, z_scr = scr[3 * i], scr[3 * i + 1], scr[3 * i + 2]
+                if split:
+                    for g in range(4):
+                        xb = _dot(inp, w_refs[first + 2 * g][:])
+                        zx = _dot(xb, w_refs[first + 2 * g + 1][:])
+                        hb = _dot(h_scr[:], w_refs[first + 8 + 2 * g][:])
+                        zu = _dot(hb, w_refs[first + 8 + 2 * g + 1][:])
+                        z_scr[:, g * npg : (g + 1) * npg] = zx + zu
+                    z = z_scr[:] + w_refs[first + 16][:]
+                else:
+                    xb = _dot(inp, w_refs[first][:])
+                    zx = _dot(xb, w_refs[first + 1][:])
+                    hb = _dot(h_scr[:], w_refs[first + 2][:])
+                    zu = _dot(hb, w_refs[first + 3][:])
+                    z = zx + zu + w_refs[first + 4][:]
+                h, c = _gates_p(z, c_scr[:], npg)
                 h_scr[:] = h
                 c_scr[:] = c
                 inp = h
-            y = _dot(inp, w_refs[head_idx][:]) + w_refs[head_idx + 1][:]
-            out_ref[pl.ds(t, 1), :] = y
+            out_ref[pl.ds(t, 1), :] = inp
             return 0
 
-        jax.lax.fori_loop(0, T, body, 0)
+        jax.lax.fori_loop(0, CT, body, 0)
 
     scratch = []
-    for n in units:
+    for npg in npgs:
         scratch += [
-            pltpu.VMEM((1, n), jnp.float32),
-            pltpu.VMEM((1, n), jnp.float32),
-            pltpu.VMEM((1, 4 * n), jnp.float32),
-            pltpu.VMEM((1, 4 * n), jnp.float32),
+            pltpu.VMEM((1, npg), jnp.float32),
+            pltpu.VMEM((1, npg), jnp.float32),
+            pltpu.VMEM((1, 4 * npg), jnp.float32),
         ]
 
-    return pl.pallas_call(
+    h_seq = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, params.head.w.shape[1]), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(ops)),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(Tp // CT,),
+        out_shape=jax.ShapeDtypeStruct((Tp, npgs[-1]), jnp.float32),
+        in_specs=[pl.BlockSpec((CT, dp), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
+        out_specs=pl.BlockSpec((CT, npgs[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(x, *ops)
+    )(x_p, *weights)
+    h_seq = h_seq[:T, : units[-1]]
+    return h_seq @ params.head.w + params.head.b
 
 
 # ---------------------------------------------------------------------------
@@ -349,15 +467,12 @@ def fused_reduced_stack_pallas(
 def dense_forward_hybrid(
     params: StackedLSTMParams, x: jax.Array, interpret: bool = False
 ) -> jax.Array:
-    """Per-layer hybrid: XLA big matmul for every layer's input projection,
-    Pallas kernel for its recurrence. x: (T, d) -> y: (T, 1)."""
+    """Per-layer hybrid: XLA big MXU matmul for every layer's input
+    projection, Pallas kernel for its recurrence. x: (T, d) -> y: (T, out)."""
     h = x
     for l in params.layers:
-        n = l.units
         xp = h @ l.W + l.b  # (T, 4n) — one MXU matmul
-        h = lstm_recurrence_pallas(
-            xp, l.U, jnp.zeros((1, n)), jnp.zeros((1, n)), interpret=interpret
-        )
+        h = lstm_recurrence_pallas(xp, l.U, interpret=interpret)
     return h @ params.head.w + params.head.b
 
 
@@ -366,16 +481,13 @@ def reduced_forward_hybrid(
     params: ReducedModelParams, x: jax.Array, interpret: bool = False
 ) -> jax.Array:
     """Hybrid path for the reduced model: two-step input projections as big
-    XLA matmuls, two-step recurrence in Pallas."""
+    XLA matmuls, folded two-step recurrence in Pallas."""
     from svd_lstm_tpu.models.reduced import reduced_projection
 
     h = x
     for l in params.layers:
-        n = l.units
         xp = reduced_projection(l, h, "w") + l.b
         uB = tuple(l.uB) if l.split else l.uB
         uC = tuple(l.uC) if l.split else l.uC
-        h = reduced_recurrence_pallas(
-            xp, uB, uC, jnp.zeros((1, n)), jnp.zeros((1, n)), interpret=interpret
-        )
+        h = reduced_recurrence_pallas(xp, uB, uC, interpret=interpret)
     return h @ params.head.w + params.head.b

@@ -1,0 +1,220 @@
+"""Sharded training step: data parallel × tensor parallel via shard_map.
+
+Parallelism design (scaling-book style — pick a mesh, shard, let collectives
+ride ICI):
+
+* **dp** — the batch of training windows is sharded across the ``dp`` axis;
+  each device computes grads on its shard, then ``pmean`` over ``dp``.
+* **tp** — Megatron-style gate-column sharding of every LSTM layer: device
+  ``s`` of the ``tp`` axis holds column slice ``[s·n/tp, (s+1)·n/tp)`` of
+  EACH of the four gate blocks of ``W``/``U``/``b`` plus the matching slice
+  of ``h``/``c``. Per step each device all-gathers ``h`` over ``tp`` (the
+  only per-step collective) and computes its local gates/state slice. The
+  backward of the all-gather is a reduce-scatter — inserted automatically
+  by shard_map's transpose rules.
+* **pp / sp / ep** — deliberately not used: a 4-layer×40-unit LSTM has no
+  expert or sequence-parallel structure (the recurrence is sequential in
+  time; context is bounded by windowed BPTT — SURVEY.md §5), and pipeline
+  stages of tiny layers would be ICI-latency-bound. Sequence-level scaling
+  is instead obtained by sharding *independent sequences* over ``dp``
+  (batched multi-sequence inference, the BASELINE stretch config).
+
+The reference has no analog of any of this — it is single-process Keras
+(SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from svd_lstm_tpu.models.lstm import (
+    DenseParams,
+    LSTMLayerParams,
+    StackedLSTMParams,
+    gate_update,
+)
+
+
+# ---------------------------------------------------------------------------
+# tp layout: per-gate column slices
+# ---------------------------------------------------------------------------
+
+def shard_layer_tp(layer: LSTMLayerParams, tp: int, index: int) -> LSTMLayerParams:
+    """Extract tp-shard ``index``'s local slice of a layer: columns
+    ``[index·n/tp, (index+1)·n/tp)`` of each gate block; all rows."""
+    n = layer.units
+    assert n % tp == 0, f"units {n} not divisible by tp {tp}"
+    k = n // tp
+    cols = jnp.concatenate(
+        [jnp.arange(g * n + index * k, g * n + (index + 1) * k) for g in range(4)]
+    )
+    return LSTMLayerParams(
+        W=layer.W[:, cols], U=layer.U[:, cols], b=layer.b[cols]
+    )
+
+
+def _local_layer_apply(layer: LSTMLayerParams, x_seq, tp_axis: str | None):
+    """One LSTM layer where W/U/b and h/c are tp-local gate slices.
+
+    x_seq: (B, T, d_full) replicated across tp. Returns local h slice
+    (B, T, n/tp); the caller all-gathers when the next consumer needs the
+    full width.
+    """
+    B, T, _ = x_seq.shape
+    k = layer.W.shape[1] // 4  # local width n/tp (U keeps full rows n)
+    xp = jnp.einsum("btd,dg->btg", x_seq, layer.W) + layer.b
+    xp_t = jnp.swapaxes(xp, 0, 1)
+    U = layer.U
+    h0 = jnp.zeros((B, k), x_seq.dtype)
+    c0 = jnp.zeros((B, k), x_seq.dtype)
+
+    def step(carry, xp_step):
+        h_local, c_local = carry
+        if tp_axis is not None:
+            h_full = jax.lax.all_gather(h_local, tp_axis, axis=1, tiled=True)
+        else:
+            h_full = h_local
+        z = xp_step + h_full @ U
+        h_local, c_local = gate_update(z, c_local)
+        return (h_local, c_local), h_local
+
+    _, h_seq = jax.lax.scan(step, (h0, c0), xp_t)
+    return jnp.swapaxes(h_seq, 0, 1)
+
+
+def _forward_local(params: StackedLSTMParams, x, tp_axis: str | None):
+    """Forward through tp-local layer slices; output head is computed on the
+    gathered last hidden state (head is tiny — replicated)."""
+    h = x
+    for layer in params.layers:
+        h_local = _local_layer_apply(layer, h, tp_axis)
+        if tp_axis is not None:
+            h = jax.lax.all_gather(h_local, tp_axis, axis=2, tiled=True)
+        else:
+            h = h_local
+    return h[:, -1] @ params.head.w + params.head.b
+
+
+# ---------------------------------------------------------------------------
+# sharded train step
+# ---------------------------------------------------------------------------
+
+def shard_params_for_mesh(params: StackedLSTMParams, mesh: Mesh) -> StackedLSTMParams:
+    """Build the host-side tp-sharded parameter pytree: per-layer W/U/b carry
+    their gate-column slices laid out contiguously along the column axis so
+    a plain P(None, 'tp') sharding puts slice s on tp-device s."""
+    tp = mesh.shape["tp"]
+    if tp == 1:
+        return jax.device_put(
+            params, NamedSharding(mesh, P())
+        )
+    layers = []
+    for layer in params.layers:
+        slices = [shard_layer_tp(layer, tp, s) for s in range(tp)]
+        layers.append(
+            LSTMLayerParams(
+                W=jnp.concatenate([s.W for s in slices], axis=1),
+                U=jnp.concatenate([s.U for s in slices], axis=1),
+                b=jnp.concatenate([s.b for s in slices]),
+            )
+        )
+    packed = StackedLSTMParams(layers=tuple(layers), head=params.head)
+    shardings = StackedLSTMParams(
+        layers=tuple(
+            LSTMLayerParams(
+                W=NamedSharding(mesh, P(None, "tp")),
+                U=NamedSharding(mesh, P(None, "tp")),
+                b=NamedSharding(mesh, P("tp")),
+            )
+            for _ in packed.layers
+        ),
+        head=DenseParams(
+            w=NamedSharding(mesh, P()), b=NamedSharding(mesh, P())
+        ),
+    )
+    return jax.device_put(packed, shardings)
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+) -> Callable:
+    """Jitted (params, opt_state, x, y) -> (params, opt_state, loss) with
+    x sharded over dp and params gate-column-sharded over tp."""
+    tp = mesh.shape["tp"]
+    tp_axis = "tp" if tp > 1 else None
+
+    def local_step(params, opt_state, x, y):
+        # params: tp-local slices; x: (B/dp, T, d); y: (B/dp,)
+        def loss_fn(p):
+            pred = _forward_local(p, x, tp_axis)[..., 0]
+            return jnp.mean(jnp.square(pred - y))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.pmean(loss, "dp")
+        grads = jax.lax.pmean(grads, "dp")
+        if tp_axis is not None:
+            # head (replicated over tp) accumulates grads from every tp shard
+            head_g = jax.lax.pmean(grads.head, tp_axis)
+            grads = grads._replace(head=head_g)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def specs_like(params):
+        spec = P(None, "tp") if tp > 1 else P()
+        bspec = P("tp") if tp > 1 else P()
+        return StackedLSTMParams(
+            layers=tuple(
+                LSTMLayerParams(W=spec, U=spec, b=bspec) for _ in params.layers
+            ),
+            head=DenseParams(w=P(), b=P()),
+        )
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        pspec = specs_like(params)
+        # adam's mu/nu mirror the param tree; counts/scalars stay replicated
+        ospec = optax.tree_map_params(
+            optimizer,
+            lambda _, s: s,
+            opt_state,
+            pspec,
+            transform_non_params=lambda _: P(),
+        )
+        return shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(pspec, ospec, P("dp", None, None), P("dp")),
+            out_specs=(pspec, ospec, P()),
+            check_vma=False,
+        )(params, opt_state, x, y)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# batched multi-sequence inference (BASELINE stretch config)
+# ---------------------------------------------------------------------------
+
+def make_batched_inference(mesh: Mesh, apply_fn) -> Callable:
+    """Shard a batch of independent sequences over every mesh device
+    (recurrence stays sequential in time; parallelism is across sequences —
+    SURVEY.md §5 'long-context' row)."""
+    n_dev = mesh.devices.size
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("b",))
+
+    @jax.jit
+    def run(params, X):  # X: (B, T, d), B % n_dev == 0
+        X = jax.device_put(X, NamedSharding(flat_mesh, P("b", None, None)))
+        params_r = jax.device_put(params, NamedSharding(flat_mesh, P()))
+        return apply_fn(params_r, X, return_sequences=True)
+
+    return run

@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# A TPU plugin (axon) may have been registered by a sitecustomize hook at
+# interpreter startup, before this conftest runs. Backend *initialization*
+# is lazy, so overriding the platform via the config still wins as long as
+# no jax computation has executed yet.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

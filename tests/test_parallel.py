@@ -1,0 +1,100 @@
+"""Sharded training/inference on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import optax
+
+from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
+from svd_lstm_tpu.parallel.mesh import make_mesh
+from svd_lstm_tpu.parallel.train import (
+    make_batched_inference,
+    make_sharded_train_step,
+    shard_layer_tp,
+    shard_params_for_mesh,
+)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 30, 8)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    return x, y
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+class TestTpSlicing:
+    def test_slices_partition_columns(self):
+        params = init_stacked_lstm(jax.random.PRNGKey(0), 8, (8,))
+        layer = params.layers[0]
+        s0 = shard_layer_tp(layer, 2, 0)
+        s1 = shard_layer_tp(layer, 2, 1)
+        # gate i of the full layer = [s0 gate i | s1 gate i]
+        W = np.asarray(layer.W)
+        np.testing.assert_array_equal(np.asarray(s0.W)[:, :4], W[:, 0:4])
+        np.testing.assert_array_equal(np.asarray(s1.W)[:, :4], W[:, 4:8])
+        np.testing.assert_array_equal(np.asarray(s0.W)[:, 4:8], W[:, 8:12])
+
+
+class TestShardedTrainStep:
+    @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+    def test_loss_matches_unsharded(self, data, dp, tp):
+        """One sharded train step must produce the same loss as the
+        single-device reference step (same params, same batch)."""
+        x, y = data
+        mesh = make_mesh(dp=dp, tp=tp)
+        params = init_stacked_lstm(jax.random.PRNGKey(1), 8, (8, 8))
+        opt = optax.adam(1e-3)
+
+        sharded = shard_params_for_mesh(params, mesh)
+        opt_state = opt.init(sharded)
+        step = make_sharded_train_step(mesh, opt)
+        _, _, loss = step(sharded, opt_state, x, y)
+
+        pred = stacked_lstm_apply(params, x, return_sequences=False)[..., 0]
+        ref_loss = float(jnp.mean(jnp.square(pred - y)))
+        assert float(loss) == pytest.approx(ref_loss, rel=1e-4)
+
+    def test_loss_decreases_over_steps(self, data):
+        x, y = data
+        mesh = make_mesh(dp=4, tp=2)
+        params = init_stacked_lstm(jax.random.PRNGKey(2), 8, (8, 8))
+        opt = optax.adam(1e-2)
+        sharded = shard_params_for_mesh(params, mesh)
+        opt_state = opt.init(sharded)
+        step = make_sharded_train_step(mesh, opt)
+        losses = []
+        p, s = sharded, opt_state
+        for _ in range(5):
+            p, s, l = step(p, s, x, y)
+            losses.append(float(l))
+        assert losses[-1] < losses[0]
+
+    def test_tp_forward_matches_dense(self, data):
+        """tp=2 sharded forward == unsharded forward (same math, different
+        layout): verified through the loss at identical params."""
+        x, y = data
+        mesh = make_mesh(dp=1, tp=2)
+        params = init_stacked_lstm(jax.random.PRNGKey(3), 8, (8,))
+        opt = optax.sgd(0.0)  # zero LR: params unchanged, loss = forward loss
+        sharded = shard_params_for_mesh(params, mesh)
+        step = make_sharded_train_step(mesh, opt)
+        _, _, loss = step(sharded, opt.init(sharded), x, y)
+        pred = stacked_lstm_apply(params, x, return_sequences=False)[..., 0]
+        assert float(loss) == pytest.approx(float(jnp.mean((pred - y) ** 2)), rel=1e-4)
+
+
+class TestBatchedInference:
+    def test_multi_sequence_sharded(self, data):
+        x, _ = data
+        mesh = make_mesh(dp=8, tp=1)
+        params = init_stacked_lstm(jax.random.PRNGKey(4), 8, (8,))
+        run = make_batched_inference(mesh, stacked_lstm_apply)
+        out = run(params, x)
+        ref = stacked_lstm_apply(params, x, return_sequences=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
