@@ -187,6 +187,34 @@ def make_reduced_model(
     return ReducedModelParams(layers=layers, head=smodel.head)
 
 
+def singular_to_dense(smodel: SingularModelParams, dtype=jnp.float32) -> StackedLSTMParams:
+    """Collapse a singular model back to dense parameters — exact
+    (W = (U·Σ)·Vᵀ per matrix / per gate). Inverse of ``make_singular_model``
+    up to float rounding; used for export and for running a fine-tuned
+    singular model on the dense fast path."""
+    layers = []
+    for p in smodel.layers:
+        if p.split:
+            Wg = [
+                np.asarray((p.wl[g] * p.ws[g]) @ p.wr[g]) for g in range(4)
+            ]
+            Ug = [
+                np.asarray((p.ul[g] * p.us[g]) @ p.ur[g]) for g in range(4)
+            ]
+            W = np.concatenate(Wg, axis=1)
+            U = np.concatenate(Ug, axis=1)
+        else:
+            W = np.asarray((p.wl * p.ws) @ p.wr)
+            U = np.asarray((p.ul * p.us) @ p.ur)
+        layers.append(
+            LSTMLayerParams(
+                W=jnp.asarray(W, dtype), U=jnp.asarray(U, dtype),
+                b=jnp.asarray(np.asarray(p.b), dtype),
+            )
+        )
+    return StackedLSTMParams(layers=tuple(layers), head=smodel.head)
+
+
 # ---------------------------------------------------------------------------
 # v1 rank utilities (reference code/old_versions/svd_classes.py)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,73 @@
+"""Real-time streaming inference: state-carrying single-step API.
+
+This is the deployment semantics of the reference's v1 NumPy cells
+(code/old_versions/svd_classes.py:104-119: per-sample, state-carrying,
+batch-1 — the path exported to LabVIEW/FPGA via the CSV weights) rebuilt as
+a functional JAX API: ``state = init_stream(params)``, then
+``y, state = stream_step(params, state, frame)`` per incoming frame, all
+inside one jitted step.
+
+Works for dense, singular, and reduced models (any pytree with a matching
+per-layer step function). Also provides ``stream_many`` — a scan over a
+frame block for chunked streaming.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from svd_lstm_tpu.models.lstm import StackedLSTMParams, gate_update
+from svd_lstm_tpu.models.reduced import ReducedModelParams, reduced_projection
+from svd_lstm_tpu.models.singular import (
+    SingularModelParams,
+    singular_input_projection,
+    singular_recurrent_product,
+)
+
+StreamState = Tuple[Tuple[jax.Array, jax.Array], ...]  # per layer (h, c)
+
+
+def init_stream(params, batch: int = 1, dtype=jnp.float32) -> StreamState:
+    return tuple(
+        (jnp.zeros((batch, l.units), dtype), jnp.zeros((batch, l.units), dtype))
+        for l in params.layers
+    )
+
+
+def _layer_step(layer, x, h, c):
+    if hasattr(layer, "wB"):  # ReducedLayerParams
+        z = reduced_projection(layer, x, "w") + layer.b + reduced_projection(layer, h, "u")
+    elif hasattr(layer, "ws"):  # SingularLayerParams
+        z = singular_input_projection(layer, x) + singular_recurrent_product(layer, h)
+    else:  # dense LSTMLayerParams
+        z = x @ layer.W + h @ layer.U + layer.b
+    return gate_update(z, c)
+
+
+def stream_step(params, state: StreamState, frame: jax.Array):
+    """One frame in, one prediction out. frame: (batch, d); returns
+    (y (batch, head_dim), new_state)."""
+    x = frame
+    new_state: List[Tuple[jax.Array, jax.Array]] = []
+    for layer, (h, c) in zip(params.layers, state):
+        h, c = _layer_step(layer, x, h, c)
+        new_state.append((h, c))
+        x = h
+    y = x @ params.head.w + params.head.b
+    return y, tuple(new_state)
+
+
+def stream_many(params, state: StreamState, frames: jax.Array):
+    """Chunked streaming: frames (batch, K, d) -> (y (batch, K, head_dim),
+    state). The scan keeps the chunk on-device in one dispatch."""
+    frames_t = jnp.swapaxes(frames, 0, 1)
+
+    def step(st, fr):
+        y, st = stream_step(params, st, fr)
+        return st, y
+
+    state, ys = jax.lax.scan(step, state, frames_t)
+    return jnp.swapaxes(ys, 0, 1), state

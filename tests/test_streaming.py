@@ -1,0 +1,70 @@
+"""Streaming single-step API + singular→dense collapse."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from svd_lstm_tpu.factor.svd import (
+    make_reduced_model,
+    make_singular_model,
+    singular_to_dense,
+)
+from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
+from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+from svd_lstm_tpu.models.singular import singular_lstm_apply
+from svd_lstm_tpu.models.streaming import init_stream, stream_many, stream_step
+
+
+@pytest.fixture(scope="module")
+def dense():
+    return init_stacked_lstm(jax.random.PRNGKey(3), input_dim=6, units=(10, 10))
+
+
+@pytest.fixture(scope="module")
+def x(rng_mod=np.random.default_rng(4)):
+    return jnp.asarray(rng_mod.normal(size=(1, 25, 6)), jnp.float32)
+
+
+class TestStreaming:
+    def test_dense_stream_matches_batch(self, dense, x):
+        ref = np.asarray(stacked_lstm_apply(dense, x))[0]
+        state = init_stream(dense)
+        outs = []
+        step = jax.jit(stream_step)
+        for t in range(x.shape[1]):
+            y, state = step(dense, state, x[:, t])
+            outs.append(np.asarray(y)[0])
+        np.testing.assert_allclose(np.stack(outs), ref, atol=1e-5)
+
+    @pytest.mark.parametrize("kind", ["singular", "reduced"])
+    def test_factorized_stream_matches_batch(self, dense, x, kind):
+        smodel = make_singular_model(dense, merged_kernel=False)
+        if kind == "singular":
+            model, apply_fn = smodel, singular_lstm_apply
+        else:
+            model = make_reduced_model(smodel, rank=4)
+            apply_fn = reduced_lstm_apply
+        ref = np.asarray(apply_fn(model, x))[0]
+        ys, _ = stream_many(model, init_stream(model), x)
+        np.testing.assert_allclose(np.asarray(ys)[0], ref, atol=1e-5)
+
+    def test_state_carries_across_chunks(self, dense, x):
+        full, _ = stream_many(dense, init_stream(dense), x)
+        a, st = stream_many(dense, init_stream(dense), x[:, :10])
+        b, _ = stream_many(dense, st, x[:, 10:])
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate([a, b], axis=1)), np.asarray(full), atol=1e-6
+        )
+
+
+class TestSingularToDense:
+    @pytest.mark.parametrize("merged", [True, False])
+    def test_roundtrip_exact(self, dense, x, merged):
+        smodel = make_singular_model(dense, merged_kernel=merged)
+        back = singular_to_dense(smodel)
+        for a, b in zip(jax.tree.leaves(dense), jax.tree.leaves(back)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        y1 = stacked_lstm_apply(dense, x)
+        y2 = stacked_lstm_apply(back, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
