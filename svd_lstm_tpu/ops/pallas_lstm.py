@@ -44,42 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 from svd_lstm_tpu.models.lstm import StackedLSTMParams
 from svd_lstm_tpu.models.reduced import ReducedModelParams
 
+from svd_lstm_tpu.utils.linalg import fold_IC, pad_cols, pad_gate_cols, pad_rows
+
 LANE = 128
 DEFAULT_CT = 512
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-# ---------------------------------------------------------------------------
-# host-side packing into P-layout (runs under jit; ops are tiny & one-shot)
-# ---------------------------------------------------------------------------
-
-def pad_gate_cols(M: jax.Array, n: int, npg: int) -> jax.Array:
-    """(rows, 4n) -> (rows, 4*npg), gate g at lanes [g*npg, g*npg+n)."""
-    rows = M.shape[0]
-    out = jnp.zeros((rows, 4 * npg), M.dtype)
-    for g in range(4):
-        out = out.at[:, g * npg : g * npg + n].set(M[:, g * n : (g + 1) * n])
-    return out
-
-
-def pad_rows(M: jax.Array, rows: int) -> jax.Array:
-    out = jnp.zeros((rows, M.shape[1]), M.dtype)
-    return out.at[: M.shape[0]].set(M)
-
-
-def pad_cols(M: jax.Array, cols: int) -> jax.Array:
-    out = jnp.zeros((M.shape[0], cols), M.dtype)
-    return out.at[:, : M.shape[1]].set(M)
-
-
-def fold_IC(B: jax.Array, C: jax.Array) -> jax.Array:
-    """[I | C]: (r, r + C.cols). (h@B) @ [I|C] == concat(h@B, (h@B)@C)."""
-    r = B.shape[1]
-    eye = jnp.eye(r, dtype=B.dtype)
-    return jnp.concatenate([eye, C], axis=1) if C.shape[1] else eye
 
 
 # ---------------------------------------------------------------------------
