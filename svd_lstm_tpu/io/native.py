@@ -1,0 +1,122 @@
+"""ctypes bindings for the native C++ streaming runtime (native/).
+
+The runtime is the rebuilt LabVIEW-consumer role: it loads the per-gate CSV
+weight export and runs state-carrying batch-1 inference with dense or exact
+two-step reduced cells. Used as (a) a CPU real-time deployment path with no
+Python/JAX in the loop, (b) an independent numerics oracle for the CSV
+export, (c) proof the export format is externally consumable.
+
+The shared library is built on demand with `make` (g++, no dependencies).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsvdlstm.so")
+
+
+def build_native(force: bool = False) -> str:
+    """Build libsvdlstm.so if needed; returns its path."""
+    if force or not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def _load_lib():
+    lib = ctypes.CDLL(build_native())
+    lib.svdlstm_load.restype = ctypes.c_void_p
+    lib.svdlstm_load.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.svdlstm_step.restype = ctypes.c_float
+    lib.svdlstm_step.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.svdlstm_run.restype = None
+    lib.svdlstm_run.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.svdlstm_reset.argtypes = [ctypes.c_void_p]
+    lib.svdlstm_free.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+class NativeModel:
+    """Streaming handle over the C++ runtime."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        layer_dirs: Sequence[str],
+        kinds: str,                 # 'd' dense / 'r' reduced, one per layer
+        transposed: bool = False,
+    ):
+        self._lib = _load_lib()
+        handle = self._lib.svdlstm_load(
+            base_dir.encode(), ":".join(layer_dirs).encode(), kinds.encode(),
+            1 if transposed else 0,
+        )
+        if not handle:
+            raise RuntimeError(f"native runtime failed to load model from {base_dir}")
+        self._h = handle
+
+    def reset(self) -> None:
+        self._lib.svdlstm_reset(self._h)
+
+    def step(self, frame: np.ndarray) -> float:
+        frame = np.ascontiguousarray(frame, np.float32).reshape(-1)
+        ptr = frame.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        return float(self._lib.svdlstm_step(self._h, ptr, frame.size))
+
+    def run(self, frames: np.ndarray) -> np.ndarray:
+        frames = np.ascontiguousarray(frames, np.float32)
+        T, d = frames.shape
+        out = np.empty(T, np.float32)
+        self._lib.svdlstm_run(
+            self._h,
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            T, d,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+
+    def __del__(self):
+        try:
+            self._lib.svdlstm_free(self._h)
+        except Exception:
+            pass
+
+
+def save_reduced_weights_as_csv(params, savpath: str) -> None:
+    """Per-gate two-step CSV export for the native runtime / external
+    consumers: wB{i,f,c,o}.csv, wC*.csv, uB*.csv, uC*.csv, b*.csv per layer
+    (split-kernel reduced models)."""
+    gates = "ifco"
+    os.makedirs(savpath, exist_ok=True)
+    for li, layer in enumerate(params.layers):
+        if not layer.split:
+            raise ValueError("CSV export of reduced models expects split kernels")
+        d = os.path.join(savpath, f"lstm_{li}")
+        os.makedirs(d, exist_ok=True)
+        n = layer.units
+        b = np.asarray(layer.b)
+        for g, name in enumerate(gates):
+            np.savetxt(os.path.join(d, f"wB{name}.csv"), np.asarray(layer.wB[g]), delimiter=",")
+            np.savetxt(os.path.join(d, f"uB{name}.csv"), np.asarray(layer.uB[g]), delimiter=",")
+            if layer.wC[g].shape[1]:
+                np.savetxt(os.path.join(d, f"wC{name}.csv"), np.asarray(layer.wC[g]), delimiter=",")
+            if layer.uC[g].shape[1]:
+                np.savetxt(os.path.join(d, f"uC{name}.csv"), np.asarray(layer.uC[g]), delimiter=",")
+            np.savetxt(os.path.join(d, f"b{name}.csv"), b[g * n : (g + 1) * n], delimiter=",")
+    dt = os.path.join(savpath, "dense_top")
+    os.makedirs(dt, exist_ok=True)
+    np.savetxt(os.path.join(dt, "weights.csv"), np.asarray(params.head.w), delimiter=",")
+    np.savetxt(os.path.join(dt, "bias.csv"), np.asarray(params.head.b), delimiter=",")

@@ -1,0 +1,79 @@
+"""Native C++ streaming runtime vs the JAX reference (exactness oracle for
+the CSV export path)."""
+
+import shutil
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+from svd_lstm_tpu.io.csv_weights import save_model_weights_as_csv
+from svd_lstm_tpu.io.native import NativeModel, build_native, save_reduced_weights_as_csv
+from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
+from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None and shutil.which("make") is None,
+    reason="no native toolchain",
+)
+
+
+@pytest.fixture(scope="module")
+def dense():
+    return init_stacked_lstm(jax.random.PRNGKey(7), input_dim=6, units=(10, 8))
+
+
+def test_build():
+    assert build_native()
+
+
+def test_dense_native_matches_jax(tmp_path, dense, rng):
+    save_model_weights_as_csv(dense, str(tmp_path))
+    nm = NativeModel(str(tmp_path), ["lstm_0", "lstm_1"], "dd", transposed=False)
+    x = rng.normal(size=(40, 6)).astype(np.float32)
+    y_native = nm.run(x)
+    y_jax = np.asarray(stacked_lstm_apply(dense, jnp.asarray(x)[None]))[0, :, 0]
+    np.testing.assert_allclose(y_native, y_jax, atol=1e-4)
+
+
+def test_reduced_native_matches_jax(tmp_path, dense, rng):
+    rmodel = make_reduced_model(make_singular_model(dense, merged_kernel=False), rank=4)
+    save_reduced_weights_as_csv(rmodel, str(tmp_path))
+    nm = NativeModel(str(tmp_path), ["lstm_0", "lstm_1"], "rr")
+    x = rng.normal(size=(40, 6)).astype(np.float32)
+    y_native = nm.run(x)
+    y_jax = np.asarray(reduced_lstm_apply(rmodel, jnp.asarray(x)[None]))[0, :, 0]
+    np.testing.assert_allclose(y_native, y_jax, atol=1e-4)
+
+
+def test_reset_and_statefulness(tmp_path, dense, rng):
+    save_model_weights_as_csv(dense, str(tmp_path))
+    nm = NativeModel(str(tmp_path), ["lstm_0", "lstm_1"], "dd")
+    x = rng.normal(size=(10, 6)).astype(np.float32)
+    a = nm.run(x)
+    b = nm.run(x)          # state carried -> different output
+    assert not np.allclose(a, b)
+    nm.reset()
+    c = nm.run(x)          # reset -> reproduces the first run
+    np.testing.assert_allclose(a, c, atol=1e-6)
+
+
+def test_loads_reference_fixtures(reference_dir, rng):
+    """The native runtime consumes the reference's shipped (transposed)
+    LabVIEW export directly."""
+    import os
+
+    path = os.path.join(reference_dir, "code", "model_weights")
+    # reference dense_top files are named weights/bias; layer dirs lstm_69..71
+    nm = NativeModel(path, ["lstm_69", "lstm_70", "lstm_71"], "ddd", transposed=True)
+    x = rng.normal(size=(30, 16)).astype(np.float32)
+    y = nm.run(x)
+    assert np.isfinite(y).all()
+
+    from svd_lstm_tpu.io.csv_weights import load_model_from_csv
+
+    params = load_model_from_csv(path, ["lstm_69", "lstm_70", "lstm_71"], transposed=True)
+    y_jax = np.asarray(stacked_lstm_apply(params, jnp.asarray(x)[None]))[0, :, 0]
+    np.testing.assert_allclose(y, y_jax, atol=1e-4)
