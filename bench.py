@@ -24,12 +24,15 @@ import sys
 
 import numpy as np
 
+import os
+
 REFERENCE_RATIO = 1.31  # timing(reduced)/timing(full), reference slide 15
 
-T = 6656
-UNITS = (40, 40, 40, 40)
+# Overridable for CI smoke runs (BENCH_T=512 BENCH_UNITS=40,40 python bench.py)
+T = int(os.environ.get("BENCH_T", 6656))
+UNITS = tuple(int(u) for u in os.environ.get("BENCH_UNITS", "40,40,40,40").split(","))
 INPUT_DIM = 16
-RANK = 25
+RANK = int(os.environ.get("BENCH_RANK", 25))
 
 
 def log(*a):

@@ -30,8 +30,9 @@ from svd_lstm_tpu.models.lstm import StackedLSTMParams, stacked_lstm_apply
 @dataclasses.dataclass
 class TrainResult:
     params: Any
-    history: list          # per-epoch mean loss
-    rollbacks: int = 0     # NaN-rollback count
+    history: list                      # per-epoch mean loss
+    rollbacks: int = 0                 # NaN-rollback count
+    val_history: list = dataclasses.field(default_factory=list)
 
 
 def mse_last_step(params, x, y, apply_fn) -> jax.Array:
@@ -47,12 +48,20 @@ def fit(
     apply_fn: Callable = stacked_lstm_apply,
     optimizer: optax.GradientTransformation | None = None,
     loss_extra: Callable | None = None,
+    validation: tuple | None = None,
+    checkpoint_path: str | None = None,
     verbose: bool = False,
 ) -> TrainResult:
     """Train ``params`` on random windows of the (1, T, d) training run.
 
     ``loss_extra(params) -> scalar`` lets callers add regularization terms
     (used by the singular fine-tune).
+
+    ``validation=(X, y)`` evaluates whole-run MSE each epoch (reference
+    passes validation_data to Keras fit, code/svd_acceleration_v3.py:126).
+
+    ``checkpoint_path`` enables save-best-by-loss checkpointing (reference
+    ModelCheckpoint(save_best_only), old_versions/train_full_model.py:108-116).
     """
     # Fresh buffers: the jitted step donates its inputs, and donating the
     # caller's arrays would invalidate them outside this function.
@@ -78,9 +87,21 @@ def fit(
         X_train, y_train, cfg.num_windows, cfg.window_len, seed=cfg.seed
     )
 
+    val_fn = None
+    if validation is not None:
+        Xv = jnp.asarray(validation[0])
+        yv = jnp.asarray(np.asarray(validation[1]).reshape(1, -1))
+        val_fn = jax.jit(
+            lambda p: jnp.mean(
+                jnp.square(apply_fn(p, Xv, return_sequences=True)[..., 0] - yv)
+            )
+        )
+
     last_good = jax.device_get(params)
     history = []
+    val_history = []
     rollbacks = 0
+    best_loss = float("inf")
     for epoch in range(cfg.epochs):
         losses = []
         for xb, yb in window_epoch_iterator(
@@ -102,9 +123,22 @@ def fit(
             continue
         last_good = jax.device_get(params)
         history.append(epoch_loss)
+        msg = f"epoch {epoch}: loss {epoch_loss:.6f}"
+        if val_fn is not None:
+            val_loss = float(val_fn(params))
+            val_history.append(val_loss)
+            msg += f"  val {val_loss:.6f}"
+        if checkpoint_path is not None and epoch_loss < best_loss:
+            best_loss = epoch_loss
+            from svd_lstm_tpu.io.checkpoint import save_params
+
+            save_params(checkpoint_path, params)
         if verbose:
-            print(f"epoch {epoch}: loss {epoch_loss:.6f}")
-    return TrainResult(params=params, history=history, rollbacks=rollbacks)
+            print(msg)
+    return TrainResult(
+        params=params, history=history, rollbacks=rollbacks,
+        val_history=val_history,
+    )
 
 
 def predict_full_run(

@@ -1,0 +1,62 @@
+"""Validation tracking, best-checkpointing, and a CPU bench smoke."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax
+
+from svd_lstm_tpu.config import TrainConfig
+from svd_lstm_tpu.io.checkpoint import load_params
+from svd_lstm_tpu.models.lstm import init_stacked_lstm
+from svd_lstm_tpu.train.loop import fit
+
+
+@pytest.fixture(scope="module")
+def tiny_run():
+    rng = np.random.default_rng(3)
+    T, d = 400, 4
+    x = rng.normal(size=(T, d)).astype(np.float32)
+    kernel = np.exp(-np.arange(10) / 4.0)
+    y = np.convolve(x[:, 0], kernel / kernel.sum(), mode="same").astype(np.float32)
+    return x[None], y
+
+
+def test_validation_and_checkpoint(tmp_path, tiny_run):
+    X, y = tiny_run
+    params = init_stacked_lstm(jax.random.PRNGKey(0), 4, (8,))
+    ckpt = str(tmp_path / "best.npz")
+    res = fit(
+        params, X, y,
+        TrainConfig(num_windows=128, window_len=20, epochs=3, batch_size=32),
+        validation=(X, y),
+        checkpoint_path=ckpt,
+    )
+    assert len(res.val_history) == 3
+    assert os.path.exists(ckpt)
+    best = load_params(ckpt)
+    assert type(best) is type(res.params)
+
+
+def test_bench_cpu_smoke():
+    """bench.py runs end-to-end on CPU with shrunk shapes and emits the
+    JSON line on stdout."""
+    import json
+
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+        BENCH_T="256", BENCH_UNITS="8,8", BENCH_RANK="5",
+        PYTHONPATH="/root/repo",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "whole_run_latency_ratio_reduced_over_full"
+    assert rec["value"] > 0 and rec["vs_baseline"] > 0
