@@ -46,38 +46,49 @@ def main():
     import svd_lstm_tpu as st
     from svd_lstm_tpu.bench.devtime import device_time_ms
     from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
-    from svd_lstm_tpu.ops.layouts import reduced_forward_dense_recurrent
+    from svd_lstm_tpu.ops.layouts import reduced_forward_fused
+    from svd_lstm_tpu.ops.pallas_lstm import fused_dense_stack_pallas
 
     log(f"devices: {jax.devices()}")
+    on_tpu = jax.devices()[0].platform != "cpu"
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(1, T, INPUT_DIM)), jnp.float32)
+    x1 = jnp.asarray(rng.normal(size=(T, INPUT_DIM)), jnp.float32)
+    x = x1[None]
 
     params = init_stacked_lstm(jax.random.PRNGKey(0), INPUT_DIM, UNITS)
     smodel = st.make_singular_model(params, merged_kernel=False)
     rmodel = st.make_reduced_model(smodel, rank=RANK)
 
-    full_fn = jax.jit(lambda p, xx: stacked_lstm_apply(p, xx, return_sequences=True))
-    red_fn = jax.jit(
-        lambda p, xx: reduced_forward_dense_recurrent(p, xx, return_sequences=True)
-    )
+    scan_full = jax.jit(lambda p, xx: stacked_lstm_apply(p, xx, return_sequences=True))
+    if on_tpu:
+        # fused compact-weight Pallas kernels (fastest measured batch-1 path)
+        full_fn = jax.jit(fused_dense_stack_pallas)
+        red_fn = jax.jit(reduced_forward_fused)
+    else:
+        from svd_lstm_tpu.ops.layouts import reduced_forward_dense_recurrent
 
-    # correctness gate: reduced-at-r25 must stay close to full on random
-    # weights (σ of orthogonal/glorot inits are concentrated, truncation is
-    # mild), and the dense-recurrent layout must match the two-step scan
-    # layout exactly.
+        full_fn = jax.jit(lambda p, xx: scan_full(p, xx[None])[0])
+        red_fn = jax.jit(
+            lambda p, xx: reduced_forward_dense_recurrent(p, xx[None], return_sequences=True)[0]
+        )
+
+    # correctness gates: the execution layouts must reproduce the scan
+    # semantics exactly (full vs fused, and reduced layout vs two-step scan)
     from svd_lstm_tpu.models.reduced import reduced_lstm_apply
 
-    y_red_layout = red_fn(rmodel, x)
-    y_red_scan = jax.jit(
-        lambda p, xx: reduced_lstm_apply(p, xx, return_sequences=True)
-    )(rmodel, x)
-    layout_err = float(jnp.abs(y_red_layout - y_red_scan).max())
-    log(f"layout exactness |dense-recurrent - two-step| = {layout_err:.3e}")
-    assert layout_err < 5e-4, "kernel layout changed the math"
+    full_err = float(jnp.abs(full_fn(params, x1) - scan_full(params, x)[0]).max())
+    red_err = float(
+        jnp.abs(
+            red_fn(rmodel, x1)
+            - jax.jit(lambda p, xx: reduced_lstm_apply(p, xx, return_sequences=True))(rmodel, x)[0]
+        ).max()
+    )
+    log(f"layout exactness: full {full_err:.3e}  reduced {red_err:.3e}")
+    assert full_err < 5e-4 and red_err < 5e-4, "kernel layout changed the math"
 
-    full_ms = device_time_ms(full_fn, params, x, repeats=3)
-    red_ms = device_time_ms(red_fn, rmodel, x, repeats=3)
+    full_ms = device_time_ms(full_fn, params, x1, repeats=3)
+    red_ms = device_time_ms(red_fn, rmodel, x1, repeats=3)
     ratio = red_ms / full_ms
 
     full_w = sum(int(np.asarray(l).size) for layer in params.layers for l in layer)

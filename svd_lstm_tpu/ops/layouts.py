@@ -39,6 +39,40 @@ def reconstruct_recurrent_dense(layer) -> jax.Array:
     return layer.uB @ fold_IC(layer.uB, layer.uC)
 
 
+def reconstruct_dense_model(params: ReducedModelParams):
+    """Exact dense StackedLSTMParams from a reduced model (both sides
+    reconstructed). The compressed parameterization remains the stored
+    form; this is purely an execution layout: at the reference's scale the
+    whole forward is latency/bandwidth-bound and dense kernels are the
+    fastest exact evaluation of the truncated model."""
+    from svd_lstm_tpu.models.lstm import LSTMLayerParams, StackedLSTMParams
+
+    layers = []
+    for l in params.layers:
+        if l.split:
+            Wb = [B @ fold_IC(B, C) for B, C in zip(l.wB, l.wC)]
+            W = jnp.concatenate(Wb, axis=1)
+        else:
+            W = l.wB @ fold_IC(l.wB, l.wC)
+        layers.append(
+            LSTMLayerParams(W=W, U=reconstruct_recurrent_dense(l), b=l.b)
+        )
+    return StackedLSTMParams(layers=tuple(layers), head=params.head)
+
+
+def reduced_forward_fused(
+    params: ReducedModelParams, x: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Fastest batch-1 whole-run evaluation of a reduced model: dense
+    reconstruction (exact) through the fused compact-weight Pallas kernel.
+    x: (T, d) -> (T, head_dim)."""
+    from svd_lstm_tpu.ops.pallas_lstm import fused_dense_stack_pallas
+
+    return fused_dense_stack_pallas(
+        reconstruct_dense_model(params), x, interpret=interpret
+    )
+
+
 def reduced_forward_dense_recurrent(
     params: ReducedModelParams,
     x_seq: jax.Array,

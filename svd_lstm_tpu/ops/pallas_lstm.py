@@ -118,7 +118,10 @@ def lstm_recurrence_pallas(
     npg = _ceil_to(n, LANE)
 
     xp_p = pad_gate_cols(xp, n, npg)
-    U_p = pad_rows(pad_gate_cols(U, n, npg), npg)
+    # Weights stay row-compact: (n, 4*npg), NOT padded to npg rows — the
+    # kernel is VMEM-bandwidth-bound on weight streaming, and row padding
+    # was a measured 1.7× loss; h is sliced to its live n lanes instead.
+    U_p = pad_gate_cols(U, n, npg)
     h0_p = _pad_state(h0, n, npg)
     c0_p = _pad_state(c0, n, npg)
     CT = min(ct, _ceil_to(T, 8))
@@ -130,7 +133,7 @@ def lstm_recurrence_pallas(
             c_scr[:] = c0_ref[:]
 
         def body(t, _):
-            z = xp_ref[pl.ds(t, 1), :] + _dot(h_scr[:], u_ref[:])
+            z = xp_ref[pl.ds(t, 1), :] + _dot(h_scr[:, :n], u_ref[:])
             h, c = _gates_p(z, c_scr[:], npg)
             h_scr[:] = h
             c_scr[:] = c
@@ -167,12 +170,13 @@ def reduced_recurrence_pallas(
     CT = min(ct, _ceil_to(T, 8))
 
     if split:
-        # per gate: B (npg, rp_g), [I|C] (rp_g, npg)
+        # per gate, row-compact: B (n, rp_g), [I|C] (r_g, npg)
+        ranks = tuple(B.shape[1] for B in uB)
         weights = []
         for g in range(4):
-            rp = _ceil_to(uB[g].shape[1], LANE)
-            weights.append(pad_rows(pad_cols(uB[g], rp), npg))
-            weights.append(pad_rows(pad_cols(fold_IC(uB[g], uC[g]), npg), rp))
+            rp = _ceil_to(ranks[g], LANE)
+            weights.append(pad_cols(uB[g], rp))
+            weights.append(pad_cols(fold_IC(uB[g], uC[g]), npg))
         weights += [h0_p, c0_p]
 
         def kernel(xp_ref, *refs):
@@ -186,10 +190,12 @@ def reduced_recurrence_pallas(
                 c_scr[:] = c0_ref[:]
 
             def body(t, _):
-                h = h_scr[:]
+                h = h_scr[:, :n]
                 for g in range(4):
                     hb = _dot(h, refs[2 * g][:])
-                    z_scr[:, g * npg : (g + 1) * npg] = _dot(hb, refs[2 * g + 1][:])
+                    z_scr[:, g * npg : (g + 1) * npg] = _dot(
+                        hb[:, : ranks[g]], refs[2 * g + 1][:]
+                    )
                 z = z_scr[:] + xp_ref[pl.ds(t, 1), :]
                 hn, cn = _gates_p(z, c_scr[:], npg)
                 h_scr[:] = hn
@@ -210,11 +216,13 @@ def reduced_recurrence_pallas(
         )
         return h_seq[:, :n]
 
-    # merged: z = (h @ B) @ [I|C] with columns scattered to P-layout
-    rp = _ceil_to(uB.shape[1], LANE)
-    B_p = pad_rows(pad_cols(uB, rp), npg)
+    # merged: z = (h @ B) @ [I|C] with columns scattered to P-layout;
+    # operands row-compact
+    r = uB.shape[1]
+    rp = _ceil_to(r, LANE)
+    B_p = pad_cols(uB, rp)
     IC = fold_IC(uB, uC)  # (r, 4n), columns in original order
-    IC_p = pad_rows(pad_gate_cols(IC, n, npg), rp)
+    IC_p = pad_gate_cols(IC, n, npg)
 
     def kernel(xp_ref, b_ref, ic_ref, h0_ref, c0_ref, out_ref, h_scr, c_scr):
         @pl.when(pl.program_id(0) == 0)
@@ -223,8 +231,8 @@ def reduced_recurrence_pallas(
             c_scr[:] = c0_ref[:]
 
         def body(t, _):
-            hb = _dot(h_scr[:], b_ref[:])
-            z = _dot(hb, ic_ref[:]) + xp_ref[pl.ds(t, 1), :]
+            hb = _dot(h_scr[:, :n], b_ref[:])
+            z = _dot(hb[:, :r], ic_ref[:]) + xp_ref[pl.ds(t, 1), :]
             hn, cn = _gates_p(z, c_scr[:], npg)
             h_scr[:] = hn
             c_scr[:] = cn
@@ -262,11 +270,13 @@ def fused_dense_stack_pallas(
     dp = _ceil_to(d, LANE)
 
     x_p = pad_cols(x, dp)
+    # Row-compact weights (W: (d_in, 4npg), U: (n, 4npg)) — the kernel is
+    # VMEM-bandwidth-bound streaming weights each step; padding rows to 128
+    # was a measured 1.7× loss. Live lanes are sliced off h before each dot.
     weights = []
     for i, l in enumerate(params.layers):
-        rows = dp if i == 0 else npgs[i - 1]
-        weights.append(pad_rows(pad_gate_cols(l.W, units[i], npgs[i]), rows))
-        weights.append(pad_rows(pad_gate_cols(l.U, units[i], npgs[i]), npgs[i]))
+        weights.append(pad_gate_cols(l.W, units[i], npgs[i]))
+        weights.append(pad_gate_cols(l.U, units[i], npgs[i]))
         weights.append(pad_gate_cols(l.b.reshape(1, -1), units[i], npgs[i]))
 
     CT = min(ct, _ceil_to(T, 8))
@@ -285,18 +295,18 @@ def fused_dense_stack_pallas(
                 s[:] = jnp.zeros_like(s)
 
         def body(t, _):
-            inp = x_ref[pl.ds(t, 1), :]
+            inp = x_ref[pl.ds(t, 1), :d]
             for i in range(L):
                 z = (
                     _dot(inp, w_refs[3 * i][:])
-                    + _dot(scr[2 * i][:], w_refs[3 * i + 1][:])
+                    + _dot(scr[2 * i][:, : units[i]], w_refs[3 * i + 1][:])
                     + w_refs[3 * i + 2][:]
                 )
                 h, c = _gates_p(z, scr[2 * i + 1][:], npgs[i])
                 scr[2 * i][:] = h
                 scr[2 * i + 1][:] = c
-                inp = h
-            out_ref[pl.ds(t, 1), :] = inp
+                inp = h[:, : units[i]]
+            out_ref[pl.ds(t, 1), :] = scr[2 * (L - 1)][:]
             return 0
 
         jax.lax.fori_loop(0, CT, body, 0)
@@ -338,31 +348,32 @@ def fused_reduced_stack_pallas(
 
     x_p = pad_cols(x, dp)
 
+    # Row-compact operands throughout (weight streaming is the bottleneck):
+    # B: (in_dim, rp) cols lane-padded; [I|C]: (r, npg or 4npg) rows compact.
     weights = []
-    layouts = []  # per layer: (split, first_index)
+    layouts = []  # per layer: (split, first_index, w_ranks, u_ranks)
     for i, l in enumerate(layers):
-        rows_in = dp if i == 0 else npgs[i - 1]
         n = units[i]
         npg = npgs[i]
         first = len(weights)
         if l.split:
+            w_ranks = tuple(B.shape[1] for B in l.wB)
+            u_ranks = tuple(B.shape[1] for B in l.uB)
             for g in range(4):
-                rp = _ceil_to(l.wB[g].shape[1], LANE)
-                weights.append(pad_rows(pad_cols(l.wB[g], rp), rows_in))
-                weights.append(pad_rows(pad_cols(fold_IC(l.wB[g], l.wC[g]), npg), rp))
+                weights.append(pad_cols(l.wB[g], _ceil_to(w_ranks[g], LANE)))
+                weights.append(pad_cols(fold_IC(l.wB[g], l.wC[g]), npg))
             for g in range(4):
-                rp = _ceil_to(l.uB[g].shape[1], LANE)
-                weights.append(pad_rows(pad_cols(l.uB[g], rp), npg))
-                weights.append(pad_rows(pad_cols(fold_IC(l.uB[g], l.uC[g]), npg), rp))
+                weights.append(pad_cols(l.uB[g], _ceil_to(u_ranks[g], LANE)))
+                weights.append(pad_cols(fold_IC(l.uB[g], l.uC[g]), npg))
         else:
-            rpw = _ceil_to(l.wB.shape[1], LANE)
-            weights.append(pad_rows(pad_cols(l.wB, rpw), rows_in))
-            weights.append(pad_rows(pad_gate_cols(fold_IC(l.wB, l.wC), n, npg), rpw))
-            rpu = _ceil_to(l.uB.shape[1], LANE)
-            weights.append(pad_rows(pad_cols(l.uB, rpu), npgs[i]))
-            weights.append(pad_rows(pad_gate_cols(fold_IC(l.uB, l.uC), n, npg), rpu))
+            w_ranks = (l.wB.shape[1],)
+            u_ranks = (l.uB.shape[1],)
+            weights.append(pad_cols(l.wB, _ceil_to(w_ranks[0], LANE)))
+            weights.append(pad_gate_cols(fold_IC(l.wB, l.wC), n, npg))
+            weights.append(pad_cols(l.uB, _ceil_to(u_ranks[0], LANE)))
+            weights.append(pad_gate_cols(fold_IC(l.uB, l.uC), n, npg))
         weights.append(pad_gate_cols(l.b.reshape(1, -1), n, npg))
-        layouts.append((l.split, first))
+        layouts.append((l.split, first, w_ranks, u_ranks))
 
     CT = min(ct, _ceil_to(T, 8))
     Tp = _ceil_to(T, CT)
@@ -382,29 +393,31 @@ def fused_reduced_stack_pallas(
                 scr[3 * i + 1][:] = jnp.zeros_like(scr[3 * i + 1])
 
         def body(t, _):
-            inp = x_ref[pl.ds(t, 1), :]
-            for i, (split, first) in enumerate(layouts):
+            inp = x_ref[pl.ds(t, 1), :d]
+            for i, (split, first, w_ranks, u_ranks) in enumerate(layouts):
                 npg = npgs[i]
+                n_i = units[i]
                 h_scr, c_scr, z_scr = scr[3 * i], scr[3 * i + 1], scr[3 * i + 2]
+                h_live = h_scr[:, :n_i]
                 if split:
                     for g in range(4):
                         xb = _dot(inp, w_refs[first + 2 * g][:])
-                        zx = _dot(xb, w_refs[first + 2 * g + 1][:])
-                        hb = _dot(h_scr[:], w_refs[first + 8 + 2 * g][:])
-                        zu = _dot(hb, w_refs[first + 8 + 2 * g + 1][:])
+                        zx = _dot(xb[:, : w_ranks[g]], w_refs[first + 2 * g + 1][:])
+                        hb = _dot(h_live, w_refs[first + 8 + 2 * g][:])
+                        zu = _dot(hb[:, : u_ranks[g]], w_refs[first + 8 + 2 * g + 1][:])
                         z_scr[:, g * npg : (g + 1) * npg] = zx + zu
                     z = z_scr[:] + w_refs[first + 16][:]
                 else:
                     xb = _dot(inp, w_refs[first][:])
-                    zx = _dot(xb, w_refs[first + 1][:])
-                    hb = _dot(h_scr[:], w_refs[first + 2][:])
-                    zu = _dot(hb, w_refs[first + 3][:])
+                    zx = _dot(xb[:, : w_ranks[0]], w_refs[first + 1][:])
+                    hb = _dot(h_live, w_refs[first + 2][:])
+                    zu = _dot(hb[:, : u_ranks[0]], w_refs[first + 3][:])
                     z = zx + zu + w_refs[first + 4][:]
                 h, c = _gates_p(z, c_scr[:], npg)
                 h_scr[:] = h
                 c_scr[:] = c
-                inp = h
-            out_ref[pl.ds(t, 1), :] = inp
+                inp = h[:, :n_i]
+            out_ref[pl.ds(t, 1), :] = scr[3 * (L - 1)][:]
             return 0
 
         jax.lax.fori_loop(0, CT, body, 0)
