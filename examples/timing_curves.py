@@ -32,7 +32,8 @@ def main():
     import svd_lstm_tpu as st
     from svd_lstm_tpu.bench.devtime import device_time_ms
     from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
-    from svd_lstm_tpu.ops.layouts import reduced_forward_dense_recurrent
+    from svd_lstm_tpu.ops.layouts import reduced_forward_dense_recurrent, reduced_forward_fused
+    from svd_lstm_tpu.ops.pallas_lstm import fused_dense_stack_pallas
     from svd_lstm_tpu.viz.plots import plot_timing_curve
 
     units = (40, 40) if args.quick else (40, 40, 40, 40)
@@ -41,12 +42,18 @@ def main():
     ks = [1, 5, 10, 15] if args.quick else [1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(1, T, 16)), jnp.float32)
+    on_tpu = jax.devices()[0].platform != "cpu"
     params = init_stacked_lstm(jax.random.PRNGKey(0), 16, units)
     smodel = st.make_singular_model(params, merged_kernel=False)
 
-    full_fn = jax.jit(lambda p, xx: stacked_lstm_apply(p, xx, return_sequences=True))
-    red_fn = jax.jit(lambda p, xx: reduced_forward_dense_recurrent(p, xx, return_sequences=True))
+    if on_tpu:
+        x = jnp.asarray(rng.normal(size=(T, 16)), jnp.float32)
+        full_fn = jax.jit(fused_dense_stack_pallas)
+        red_fn = jax.jit(reduced_forward_fused)
+    else:
+        x = jnp.asarray(rng.normal(size=(1, T, 16)), jnp.float32)
+        full_fn = jax.jit(lambda p, xx: stacked_lstm_apply(p, xx, return_sequences=True))
+        red_fn = jax.jit(lambda p, xx: reduced_forward_dense_recurrent(p, xx, return_sequences=True))
 
     t_full = device_time_ms(full_fn, params, x, repeats=3)
     print(f"full: {t_full:.3f} ms")

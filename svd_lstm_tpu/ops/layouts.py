@@ -60,6 +60,15 @@ def reconstruct_dense_model(params: ReducedModelParams):
     return StackedLSTMParams(layers=tuple(layers), head=params.head)
 
 
+def singular_forward_fused(smodel, x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Fastest batch-1 evaluation of a (full-rank) singular model: exact
+    dense collapse W = (U·Σ)·Vᵀ through the fused kernel. x: (T, d)."""
+    from svd_lstm_tpu.factor.svd import singular_to_dense
+    from svd_lstm_tpu.ops.pallas_lstm import fused_dense_stack_pallas
+
+    return fused_dense_stack_pallas(singular_to_dense(smodel), x, interpret=interpret)
+
+
 def reduced_forward_fused(
     params: ReducedModelParams, x: jax.Array, interpret: bool = False
 ) -> jax.Array:

@@ -33,7 +33,7 @@ MXU serves well at large batch.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from svd_lstm_tpu.models.lstm import StackedLSTMParams
 from svd_lstm_tpu.models.reduced import ReducedModelParams
 
-from svd_lstm_tpu.utils.linalg import fold_IC, pad_cols, pad_gate_cols, pad_rows
+from svd_lstm_tpu.utils.linalg import fold_IC, pad_cols, pad_gate_cols
 
 LANE = 128
 DEFAULT_CT = 512
