@@ -64,3 +64,4 @@ from svd_lstm_tpu.factor.svd import (
 )
 from svd_lstm_tpu.factor.regularizers import hoyer_penalty, orthogonal_penalty
 from svd_lstm_tpu.train.metrics import rmse, nrmse, signaltonoise
+from svd_lstm_tpu.api import predict

@@ -1,0 +1,91 @@
+"""High-level inference API: ``predict(params, x)`` with measured-best
+implementation selection.
+
+The selection table is empirical (BENCH_NOTES.md, v5e device time):
+
+* dense / singular models
+  - batch-1 on TPU, n ≤ 128: fused compact-weight Pallas kernel (4.42 ms
+    vs 7.36 ms scan for the 4×40 DROPBEAR run)
+  - otherwise: XLA scan with hoisted input projections (wide models are
+    weight-streaming-bound and the scan wins; batched throughput likewise)
+* reduced models
+  - batch-1 on TPU, n ≤ 128: dense reconstruction through the fused kernel
+    (exact; the two-step recurrence costs 1.31–5× at the latency floor)
+  - batch-1 on TPU, n ≥ 256, merged kernels: hybrid path — hoisted factored
+    x-side + folded two-step Pallas recurrence (0.75× the best dense at
+    3×512/r=32)
+  - otherwise: dense-reconstructed scan layout
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from svd_lstm_tpu.models.lstm import StackedLSTMParams, stacked_lstm_apply
+from svd_lstm_tpu.models.reduced import ReducedModelParams, reduced_lstm_apply
+from svd_lstm_tpu.models.singular import SingularModelParams, singular_lstm_apply
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform != "cpu"
+
+
+def _max_units(params) -> int:
+    return max(l.units for l in params.layers)
+
+
+def predict(params, x, impl: str = "auto"):
+    """Whole-run inference.
+
+    x: (T, d) for batch-1 or (B, T, d) batched. Returns (T, out) / (B, T, out).
+    impl: 'auto' | 'scan' | 'fused' | 'hybrid'.
+    """
+    batched = x.ndim == 3
+    x1 = None if batched else x
+
+    is_dense = isinstance(params, StackedLSTMParams)
+    is_singular = isinstance(params, SingularModelParams)
+    is_reduced = isinstance(params, ReducedModelParams)
+    if not (is_dense or is_singular or is_reduced):
+        raise TypeError(f"unknown model params: {type(params)}")
+
+    use_kernels = impl in ("fused", "hybrid") or (
+        impl == "auto" and _on_tpu() and not batched
+    )
+
+    if is_dense:
+        if use_kernels and _max_units(params) <= 128 and impl != "hybrid":
+            from svd_lstm_tpu.ops.pallas_lstm import fused_dense_stack_pallas
+
+            return fused_dense_stack_pallas(params, x1)
+        xb = x if batched else x[None]
+        out = stacked_lstm_apply(params, xb, return_sequences=True)
+        return out if batched else out[0]
+
+    if is_singular:
+        if use_kernels and _max_units(params) <= 128 and impl != "hybrid":
+            from svd_lstm_tpu.ops.layouts import singular_forward_fused
+
+            return singular_forward_fused(params, x1)
+        xb = x if batched else x[None]
+        out = singular_lstm_apply(params, xb, return_sequences=True)
+        return out if batched else out[0]
+
+    # reduced
+    n = _max_units(params)
+    merged = not params.layers[0].split
+    if use_kernels:
+        if n <= 128 and impl != "hybrid":
+            from svd_lstm_tpu.ops.layouts import reduced_forward_fused
+
+            return reduced_forward_fused(params, x1)
+        if merged and (n >= 256 or impl == "hybrid"):
+            from svd_lstm_tpu.ops.pallas_lstm import reduced_forward_hybrid
+
+            return reduced_forward_hybrid(params, x1)
+    from svd_lstm_tpu.ops.layouts import reduced_forward_dense_recurrent
+
+    xb = x if batched else x[None]
+    out = reduced_forward_dense_recurrent(params, xb, return_sequences=True)
+    return out if batched else out[0]

@@ -1,0 +1,46 @@
+"""High-level predict() dispatch."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import svd_lstm_tpu as st
+from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
+
+
+@pytest.fixture(scope="module")
+def models():
+    dense = init_stacked_lstm(jax.random.PRNGKey(0), 6, (10, 10))
+    smodel = st.make_singular_model(dense, merged_kernel=True)
+    rmodel = st.make_reduced_model(smodel, rank=4)
+    return dense, smodel, rmodel
+
+
+def test_predict_batch1_and_batched(models, rng):
+    dense, smodel, rmodel = models
+    x1 = jnp.asarray(rng.normal(size=(30, 6)), jnp.float32)
+    xb = jnp.asarray(rng.normal(size=(3, 30, 6)), jnp.float32)
+    for m in models:
+        y1 = st.predict(m, x1)
+        yb = st.predict(m, xb)
+        assert y1.shape == (30, 1)
+        assert yb.shape == (3, 30, 1)
+
+    # dense predict == scan reference
+    ref = stacked_lstm_apply(dense, x1[None])[0]
+    np.testing.assert_allclose(np.asarray(st.predict(dense, x1)), np.asarray(ref), atol=1e-5)
+
+
+def test_predict_consistency_across_model_forms(models, rng):
+    """singular == dense; reduced(rank 4) close to dense."""
+    dense, smodel, rmodel = models
+    x1 = jnp.asarray(rng.normal(size=(25, 6)), jnp.float32)
+    yd = np.asarray(st.predict(dense, x1))
+    ys = np.asarray(st.predict(smodel, x1))
+    np.testing.assert_allclose(ys, yd, atol=1e-4)
+
+
+def test_predict_rejects_unknown():
+    with pytest.raises(TypeError):
+        st.predict({"not": "a model"}, jnp.zeros((4, 2)))
