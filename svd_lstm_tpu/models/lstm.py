@@ -81,13 +81,22 @@ def lstm_layer_apply(
     h0: jax.Array | None = None,
     c0: jax.Array | None = None,
     return_state: bool = False,
+    dropout: float = 0.0,
+    recurrent_dropout: float = 0.0,
+    rng: jax.Array | None = None,
 ):
     """Run one LSTM layer over a sequence.
 
     x_seq: (batch, T, d). Returns (batch, T, units) hidden sequence
     (optionally plus final (h, c)).
+
+    Dropout follows Keras LSTM semantics (reference SingularLSTMCell
+    supports the same masks, code/svd_classes_v3.py:121-137): one inverted
+    -scaled mask per gate, drawn once and reused at every timestep, applied
+    to the inputs (``dropout``) and to h_{t-1} (``recurrent_dropout``).
+    Requires ``rng`` when a rate is nonzero.
     """
-    B, T, _ = x_seq.shape
+    B, T, d = x_seq.shape
     n = params.units
     dtype = x_seq.dtype
     if h0 is None:
@@ -95,15 +104,41 @@ def lstm_layer_apply(
     if c0 is None:
         c0 = jnp.zeros((B, n), dtype)
 
-    # Hoisted input projection: one big MXU matmul for the whole sequence.
-    xp = jnp.einsum("btd,dg->btg", x_seq, params.W) + params.b  # (B, T, 4n)
+    use_dp = dropout > 0.0
+    use_rdp = recurrent_dropout > 0.0
+    if (use_dp or use_rdp) and rng is None:
+        raise ValueError("dropout requires an rng key")
+    if use_dp or use_rdp:
+        k_dp, k_rdp = jax.random.split(rng)
+
+    if use_dp:
+        # per-gate input masks, constant across time (Keras count=4)
+        keep = 1.0 - dropout
+        dp = jax.random.bernoulli(k_dp, keep, (4, B, d)).astype(dtype) / keep
+        # Hoisted per-gate projections: 4 masked inputs × gate blocks.
+        xp_parts = [
+            jnp.einsum("btd,dn->btn", x_seq * dp[g][:, None, :], params.W[:, g * n : (g + 1) * n])
+            for g in range(4)
+        ]
+        xp = jnp.concatenate(xp_parts, axis=-1) + params.b
+    else:
+        # Hoisted input projection: one big MXU matmul for the whole sequence.
+        xp = jnp.einsum("btd,dg->btg", x_seq, params.W) + params.b  # (B, T, 4n)
     xp_t = jnp.swapaxes(xp, 0, 1)  # (T, B, 4n) — scan over leading axis
 
     U = params.U
+    if use_rdp:
+        keep_r = 1.0 - recurrent_dropout
+        rdp = jax.random.bernoulli(k_rdp, keep_r, (4, B, n)).astype(dtype) / keep_r
 
     def step(carry, xp_step):
         h, c = carry
-        z = xp_step + h @ U
+        if use_rdp:
+            z = xp_step + jnp.concatenate(
+                [(h * rdp[g]) @ U[:, g * n : (g + 1) * n] for g in range(4)], axis=-1
+            )
+        else:
+            z = xp_step + h @ U
         h, c = gate_update(z, c)
         return (h, c), h
 
