@@ -93,8 +93,11 @@ def main():
     full_fn = jax.jit(lambda p, x: stacked_lstm_apply(p, x, return_sequences=True))
     red_fn = jax.jit(lambda p, x: reduced_forward_dense_recurrent(p, x, return_sequences=True))
     X = jnp.asarray(ds.X, jnp.float32)
-    t_full = device_time_ms(full_fn, model, X)
-    t_red = device_time_ms(red_fn, rmodel, X)
+    # time on a bounded slice: profiler traces grow with scan length and
+    # become slow to parse beyond ~16k steps; latency scales linearly in T
+    Xt = X[:, : min(X.shape[1], 16384)]
+    t_full = device_time_ms(full_fn, model, Xt, repeats=2)
+    t_red = device_time_ms(red_fn, rmodel, Xt, repeats=2)
     print(f"full model timing:    {t_full:.3f} ms (device)")
     print(f"reduced model timing: {t_red:.3f} ms (device)")
     print(f"ratio reduced/full:   {t_red/t_full:.3f}  (reference: 1.31)")

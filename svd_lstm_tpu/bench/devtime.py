@@ -23,12 +23,33 @@ from typing import Callable
 import jax
 
 
+_BIG_TRACE_BYTES = 64 * 1024 * 1024
+
+
 def _trace_dir_events(trace_dir: str):
     paths = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
     if not paths:
         raise RuntimeError(f"no trace produced under {trace_dir}")
     with gzip.open(paths[-1]) as f:
-        data = json.load(f)
+        raw = f.read()
+    if len(raw) > _BIG_TRACE_BYTES:
+        # Long scans emit per-iteration events; full json parse of multi-
+        # hundred-MB traces is pathologically slow. Regex-scan only the
+        # top-level executable events instead.
+        import re
+
+        events = []
+        for m in re.finditer(
+            rb'"name"\s*:\s*"(jit_[^"]*)"[^}]*?"dur"\s*:\s*([0-9.]+)', raw
+        ):
+            events.append({"ph": "X", "name": m.group(1).decode(), "dur": float(m.group(2))})
+        for m in re.finditer(
+            rb'"dur"\s*:\s*([0-9.]+)[^}]*?"name"\s*:\s*"(jit_[^"]*)"', raw
+        ):
+            events.append({"ph": "X", "name": m.group(2).decode(), "dur": float(m.group(1))})
+        if events:
+            return events
+    data = json.loads(raw)
     return [e for e in data.get("traceEvents", []) if e.get("ph") == "X"]
 
 

@@ -47,12 +47,27 @@ class SweepResult:
 
 
 def sorted_sigma_indices(
-    params: StackedLSTMParams, protect_first_layer_w: bool = True
+    params: StackedLSTMParams,
+    protect_first_layer_w: bool = True,
+    heuristic: str = "absolute",
 ) -> np.ndarray:
-    """All (layer, W/U, gate, σ-index) quadruples ordered by ascending σ
-    (reference old_versions/svd_acceleration.py:64-68)."""
+    """All (layer, W/U, gate, σ-index) quadruples ordered by the drop
+    heuristic (reference old_versions/svd_acceleration.py:64-68; the
+    'smarter drop metrics' knob its TODO asked for):
+
+    * 'absolute' — ascending raw σ (the reference's only heuristic);
+    * 'relative' — σ normalized by its matrix's largest σ, so large- and
+      small-scale gate blocks compete fairly.
+    """
     sv = get_model_singular_values(params)  # (L, 2, 4, units)
-    order = np.stack(np.unravel_index(np.argsort(sv.ravel()), sv.shape), axis=1)
+    if heuristic == "relative":
+        scale = sv.max(axis=-1, keepdims=True)
+        key = sv / np.where(scale == 0, 1.0, scale)
+    elif heuristic == "absolute":
+        key = sv
+    else:
+        raise ValueError(f"unknown heuristic {heuristic!r}")
+    order = np.stack(np.unravel_index(np.argsort(key.ravel()), sv.shape), axis=1)
     if protect_first_layer_w:
         keep = ~((order[:, 0] == 0) & (order[:, 1] == 0))
         order = order[keep]
