@@ -29,6 +29,27 @@ def split_train_random(
     return np.ascontiguousarray(X_mini), np.ascontiguousarray(y_mini)
 
 
+def split_train_random_multi(
+    X_runs: np.ndarray,
+    y_runs: np.ndarray,
+    batch_size: int,
+    train_len: int,
+    seed: int | None = None,
+):
+    """Multi-run variant (reference code/svd_acceleration_v2.py:80-86 and
+    old_versions/toy-convolution.py:43-49): X_runs (R, T, d), y_runs (R, T);
+    windows are sampled uniformly over (run, offset) pairs."""
+    rng = np.random.default_rng(seed)
+    R, T = X_runs.shape[0], X_runs.shape[1]
+    runs = rng.integers(0, R, size=batch_size)
+    starts = rng.integers(0, T - train_len, size=batch_size)
+    offsets = np.arange(train_len)
+    idx = starts[:, None] + offsets[None, :]
+    X_mini = X_runs[runs[:, None], idx]
+    y_mini = y_runs[runs, starts + train_len]
+    return np.ascontiguousarray(X_mini), np.ascontiguousarray(y_mini)
+
+
 def window_epoch_iterator(
     X_mini: np.ndarray,
     y_mini: np.ndarray,

@@ -40,6 +40,21 @@ def test_validation_and_checkpoint(tmp_path, tiny_run):
     assert type(best) is type(res.params)
 
 
+def test_jit_epoch_matches_per_step(tiny_run):
+    """Epoch-level scan must reproduce the per-step loop bitwise (same
+    shuffle, same updates)."""
+    X, y = tiny_run
+    params = init_stacked_lstm(jax.random.PRNGKey(1), 4, (8,))
+    cfg = TrainConfig(num_windows=128, window_len=20, epochs=2, batch_size=32, seed=7)
+    a = fit(params, X, y, cfg, jit_epoch=False)
+    b = fit(params, X, y, cfg, jit_epoch=True)
+    np.testing.assert_allclose(a.history, b.history, rtol=1e-6)
+    for x1, x2 in zip(
+        __import__("jax").tree.leaves(a.params), __import__("jax").tree.leaves(b.params)
+    ):
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-6)
+
+
 def test_bench_cpu_smoke():
     """bench.py runs end-to-end on CPU with shrunk shapes and emits the
     JSON line on stdout."""
