@@ -20,10 +20,9 @@ The selection table is empirical (BENCH_NOTES.md, v5e device time):
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from svd_lstm_tpu.models.lstm import StackedLSTMParams, stacked_lstm_apply
-from svd_lstm_tpu.models.reduced import ReducedModelParams, reduced_lstm_apply
+from svd_lstm_tpu.models.reduced import ReducedModelParams
 from svd_lstm_tpu.models.singular import SingularModelParams, singular_lstm_apply
 
 

@@ -12,7 +12,6 @@ effect, since its per-step Python overhead WAS the compute.
 
 from __future__ import annotations
 
-import collections
 import glob
 import gzip
 import json

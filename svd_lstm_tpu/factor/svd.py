@@ -25,11 +25,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from svd_lstm_tpu.models.lstm import (
-    DenseParams,
-    LSTMLayerParams,
-    StackedLSTMParams,
-)
+from svd_lstm_tpu.models.lstm import LSTMLayerParams, StackedLSTMParams
 from svd_lstm_tpu.models.reduced import ReducedLayerParams, ReducedModelParams
 from svd_lstm_tpu.models.singular import SingularLayerParams, SingularModelParams
 

@@ -14,15 +14,14 @@ frame block for chunked streaming.
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from svd_lstm_tpu.models.lstm import StackedLSTMParams, gate_update
-from svd_lstm_tpu.models.reduced import ReducedModelParams, reduced_projection
+from svd_lstm_tpu.models.lstm import gate_update
+from svd_lstm_tpu.models.reduced import reduced_projection
 from svd_lstm_tpu.models.singular import (
-    SingularModelParams,
     singular_input_projection,
     singular_recurrent_product,
 )

@@ -10,8 +10,6 @@ replacement for the reference's per-step ``backend.rnn`` interpreter
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

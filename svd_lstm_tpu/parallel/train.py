@@ -25,8 +25,7 @@ The reference has no analog of any of this — it is single-process Keras
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Callable, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,7 @@ import optax
 
 from svd_lstm_tpu.config import TrainConfig
 from svd_lstm_tpu.data.batcher import split_train_random, window_epoch_iterator
-from svd_lstm_tpu.models.lstm import StackedLSTMParams, stacked_lstm_apply
+from svd_lstm_tpu.models.lstm import stacked_lstm_apply
 
 
 @dataclasses.dataclass
