@@ -1,0 +1,64 @@
+"""BASELINE stretch config: batched multi-sequence inference sharded over a
+device mesh (v5e-8 style).
+
+The recurrence is inherently sequential in time, so multi-chip scaling
+shards *independent sequences* across devices (SURVEY §5). Runs on any
+mesh — including the 8-virtual-CPU-device mesh used in CI.
+
+Usage:
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/batched_inference.py [--wide]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wide", action="store_true", help="use the 3x512 stretch model")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import svd_lstm_tpu as st
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
+    from svd_lstm_tpu.parallel.mesh import make_mesh
+    from svd_lstm_tpu.parallel.train import make_batched_inference
+
+    n_dev = len(jax.devices())
+    print(f"devices: {n_dev} x {jax.devices()[0].platform}")
+    units = (512, 512, 512) if args.wide else (40, 40, 40, 40)
+    B = (args.batch // n_dev) * n_dev or n_dev
+
+    params = init_stacked_lstm(jax.random.PRNGKey(0), 16, units)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(B, args.steps, 16)), jnp.float32)
+
+    mesh = make_mesh(dp=n_dev, tp=1)
+    run = make_batched_inference(mesh, stacked_lstm_apply)
+
+    out = jax.block_until_ready(run(params, X))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(run(params, X))
+    dt = time.perf_counter() - t0
+    ref = stacked_lstm_apply(params, X[: B // n_dev], return_sequences=True)
+    err = float(jnp.abs(out[: B // n_dev] - ref).max())
+    print(
+        f"sharded {B} sequences x {args.steps} steps over {n_dev} devices: "
+        f"{dt*1e3:.1f} ms wall, {B*args.steps/dt/1e6:.2f} M steps/s, "
+        f"shard-vs-local err {err:.2e}"
+    )
+
+
+if __name__ == "__main__":
+    main()
