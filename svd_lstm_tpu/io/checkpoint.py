@@ -21,6 +21,7 @@ import numpy as np
 from svd_lstm_tpu.models.lstm import DenseParams, LSTMLayerParams, StackedLSTMParams
 from svd_lstm_tpu.models.reduced import ReducedLayerParams, ReducedModelParams
 from svd_lstm_tpu.models.singular import SingularLayerParams, SingularModelParams
+from svd_lstm_tpu.utils.quantize import QuantizedTensor
 
 _NODE_TYPES = {
     cls.__name__: cls
@@ -32,6 +33,7 @@ _NODE_TYPES = {
         SingularModelParams,
         ReducedLayerParams,
         ReducedModelParams,
+        QuantizedTensor,
     ]
 }
 
@@ -80,7 +82,53 @@ def save_params(path: str, params: Any) -> None:
 
 
 def load_params(path: str) -> Any:
+    """Load a pytree saved by :func:`save_params` (``.npz``) or
+    :func:`save_params_orbax` (directory) — format is detected from the path."""
+    if os.path.isdir(path):
+        return load_params_orbax(path)
     with np.load(path, allow_pickle=False) as z:
         spec = json.loads(str(z["__spec__"]))
         leaves = [z[f"leaf_{i}"] for i in range(sum(1 for k in z.files if k.startswith("leaf_")))]
     return _build(spec, leaves)
+
+
+def save_params_orbax(path: str, params: Any) -> None:
+    """Save a parameter pytree as an Orbax checkpoint directory.
+
+    The TPU-native production format (SURVEY.md §5 names Orbax as the
+    checkpoint/resume equivalent of the reference's Keras ``model.save`` —
+    reference train_full_model_v4.py:128,159): sharded-array-aware, atomic
+    (tmp dir renamed only on success), and async-friendly. The model
+    structure travels with the checkpoint as a JSON item, so restore needs
+    no template pytree — exactly like the ``.npz`` path.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    leaves: list = []
+    spec = _spec_of(jax.device_get(params), leaves)
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+        ckptr.save(
+            path,
+            args=ocp.args.Composite(
+                arrays=ocp.args.StandardSave({"leaves": leaves}),
+                spec=ocp.args.JsonSave(spec),
+            ),
+            force=True,
+        )
+
+
+def load_params_orbax(path: str) -> Any:
+    """Restore a pytree saved by :func:`save_params_orbax`."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ckptr:
+        restored = ckptr.restore(
+            path,
+            args=ocp.args.Composite(
+                arrays=ocp.args.StandardRestore(),
+                spec=ocp.args.JsonRestore(),
+            ),
+        )
+    return _build(restored["spec"], restored["arrays"]["leaves"])

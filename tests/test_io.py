@@ -24,6 +24,28 @@ class TestRoundtrip:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+class TestOrbaxCheckpoint:
+    def test_roundtrip_all_model_families(self, tmp_path):
+        """Orbax checkpoints (SURVEY §5's TPU-native checkpoint equivalent)
+        must round-trip dense/singular/reduced pytrees exactly, restoring
+        the NamedTuple structure without a template, and `load_params` must
+        auto-detect the directory format."""
+        import svd_lstm_tpu as st
+        from svd_lstm_tpu.io.checkpoint import load_params, save_params_orbax
+
+        params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=8, units=(6, 5))
+        singular = st.make_singular_model(params, merged_kernel=False)
+        reduced = st.make_reduced_model(singular, rank=3)
+        for name, model in [("dense", params), ("singular", singular), ("reduced", reduced)]:
+            path = str(tmp_path / name)
+            save_params_orbax(path, model)
+            restored = load_params(path)
+            assert type(restored) is type(model)
+            for a, b in zip(jax.tree.leaves(model), jax.tree.leaves(restored)):
+                assert a.dtype == b.dtype
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestGoldenFixtures:
     def test_load_reference_model_weights(self, reference_dir, rng):
         """The shipped lstm_{69,70,71} + dense_top CSVs must assemble into a
