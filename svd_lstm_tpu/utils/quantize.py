@@ -1,0 +1,107 @@
+"""Int8 weight quantization — a compression axis beyond the reference.
+
+The reference compresses along exactly one axis: SVD rank (slide 9's weight
+accounting; code/svd_classes_v3.py:604-676). This module adds symmetric
+per-output-column int8 quantization of the weight matrices, which
+
+* cuts checkpoint / export / device-resident weight size 4x vs f32
+  (``quantize_params`` + ``quantized_apply``: params cross HBM as int8 and
+  widen on-chip inside the caller's jit), and
+* enables int8 weight *streaming* in kernels that read weights every step
+  (the batch-1 fused kernels are VMEM-bandwidth-bound on weight streaming —
+  BENCH_NOTES.md); that path needs kernel-side dequantization and is wired
+  where measured to win.
+
+It composes with rank truncation: quantize the reduced model's two-step
+factors (B, C) after truncation. Gate math stays f32.
+
+Scheme: for a matrix leaf ``w``, per-output-column symmetric scaling
+``s = max|w| / 127`` (axis 0 reduced, keepdims) and ``q = round(w/s)`` in
+int8, so ``|w - q*s| <= s/2`` elementwise. 1-D leaves (biases, sigma
+vectors) stay f32 — they are tiny and sigma precision is what the whole
+method trains (Hoyer fine-tune), so quantizing it would be self-defeating.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizedTensor(NamedTuple):
+    """An int8-quantized matrix: ``w ~= q.astype(f32) * scale``."""
+
+    q: jax.Array  # int8, same shape as the original
+    scale: jax.Array  # f32, shape (1, ..., cols) — per-output-column
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def nbytes(self) -> int:
+        return self.q.size * 1 + self.scale.size * 4
+
+
+def quantize_tensor(w: jax.Array, axis: int = 0) -> QuantizedTensor:
+    """Symmetric int8 quantization with a per-column scale (reduce ``axis``)."""
+    w = jnp.asarray(w, jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=axis, keepdims=True) / 127.0
+    scale = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(q, scale)
+
+
+def dequantize_tensor(t: QuantizedTensor) -> jax.Array:
+    return t.q.astype(jnp.float32) * t.scale
+
+
+def _is_qt(x: Any) -> bool:
+    return isinstance(x, QuantizedTensor)
+
+
+def quantize_params(params: Any) -> Any:
+    """Quantize every floating matrix leaf (ndim >= 2) of a parameter pytree
+    to a :class:`QuantizedTensor`; 1-D leaves (biases, sigma) stay f32.
+
+    Works on dense / singular / reduced model pytrees alike and returns the
+    same NamedTuple structure, so the result checkpoints through
+    ``io.checkpoint`` and feeds :func:`quantized_apply`-wrapped forwards.
+    """
+
+    def maybe_q(x):
+        if hasattr(x, "ndim") and x.ndim >= 2 and jnp.issubdtype(
+            jnp.asarray(x).dtype, jnp.floating
+        ):
+            return quantize_tensor(x)
+        return x
+
+    return jax.tree.map(maybe_q, params)
+
+
+def dequantize_params(qparams: Any) -> Any:
+    """Inverse of :func:`quantize_params`: rebuild an f32 pytree."""
+    return jax.tree.map(
+        lambda x: dequantize_tensor(x) if _is_qt(x) else x, qparams, is_leaf=_is_qt
+    )
+
+
+def quantized_apply(apply_fn):
+    """Wrap a forward ``apply_fn(params, ...)`` so it accepts a quantized
+    pytree. Dequantization traces inside the caller's ``jit``: weights live
+    in device memory as int8 and widen on-chip."""
+
+    def wrapped(qparams, *args, **kwargs):
+        return apply_fn(dequantize_params(qparams), *args, **kwargs)
+
+    return wrapped
+
+
+def param_bytes(params: Any) -> int:
+    """Device-memory footprint of a (possibly quantized) parameter pytree."""
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        total += leaf.size * jnp.dtype(leaf.dtype).itemsize
+    return int(total)

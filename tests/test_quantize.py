@@ -1,0 +1,87 @@
+"""Int8 weight quantization (utils/quantize.py) — a compression axis beyond
+the reference's rank truncation; must bound elementwise error, preserve
+pytree structure, compose with reduced models, and checkpoint."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import svd_lstm_tpu as st
+from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
+from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+from svd_lstm_tpu.utils.quantize import (
+    QuantizedTensor,
+    dequantize_params,
+    dequantize_tensor,
+    param_bytes,
+    quantize_params,
+    quantize_tensor,
+    quantized_apply,
+)
+
+
+def test_elementwise_bound(rng):
+    w = jnp.asarray(rng.normal(size=(37, 64)), jnp.float32)
+    t = quantize_tensor(w)
+    assert t.q.dtype == jnp.int8
+    err = np.abs(np.asarray(dequantize_tensor(t)) - np.asarray(w))
+    bound = np.asarray(t.scale / 2) + 1e-7
+    assert (err <= bound).all()
+
+
+def test_zero_column_is_exact():
+    w = jnp.zeros((8, 4), jnp.float32)
+    t = quantize_tensor(w)
+    np.testing.assert_array_equal(np.asarray(dequantize_tensor(t)), np.asarray(w))
+
+
+def test_structure_and_selectivity():
+    params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=16, units=(32, 32))
+    q = quantize_params(params)
+    assert type(q) is type(params)
+    # matrices quantized, 1-D biases untouched
+    assert isinstance(q.layers[0].W, QuantizedTensor)
+    assert isinstance(q.layers[0].U, QuantizedTensor)
+    assert q.layers[0].b.dtype == jnp.float32
+    assert isinstance(q.head.w, QuantizedTensor)
+    back = dequantize_params(q)
+    assert type(back) is type(params)
+    assert back.layers[0].W.shape == params.layers[0].W.shape
+    # ~4x smaller storage for the matrix-dominated pytree
+    assert param_bytes(q) < 0.35 * param_bytes(params)
+
+
+def _quantized_close(apply_fn, params, x, tol):
+    ref = np.asarray(apply_fn(params, x))
+    out = np.asarray(jax.jit(quantized_apply(apply_fn))(quantize_params(params), x))
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(out - ref).max() / scale < tol
+
+
+def test_quantized_dense_forward(rng):
+    params = init_stacked_lstm(jax.random.PRNGKey(1), input_dim=8, units=(16, 16))
+    x = jnp.asarray(rng.normal(size=(2, 50, 8)), jnp.float32)
+    _quantized_close(stacked_lstm_apply, params, x, tol=0.05)
+
+
+def test_quantized_reduced_forward_split_and_merged(rng):
+    params = init_stacked_lstm(jax.random.PRNGKey(2), input_dim=8, units=(12, 12))
+    x = jnp.asarray(rng.normal(size=(1, 40, 8)), jnp.float32)
+    for merged in (False, True):
+        s = st.make_singular_model(params, merged_kernel=merged)
+        r = st.make_reduced_model(s, rank=8)
+        _quantized_close(reduced_lstm_apply, r, x, tol=0.05)
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    from svd_lstm_tpu.io.checkpoint import load_params, save_params
+
+    params = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=5, units=(4,))
+    q = quantize_params(params)
+    path = str(tmp_path / "q.npz")
+    save_params(path, q)
+    back = load_params(path)
+    assert isinstance(back.layers[0].W, QuantizedTensor)
+    assert back.layers[0].W.q.dtype == jnp.int8
+    for a, b in zip(jax.tree.leaves(q), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
