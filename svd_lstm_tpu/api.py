@@ -15,6 +15,18 @@ The selection table is empirical (BENCH_NOTES.md, v5e device time):
     x-side + folded two-step Pallas recurrence (0.75× the best dense at
     3×512/r=32)
   - otherwise: dense-reconstructed scan layout
+
+Batched throughput additionally supports reduced-precision modes
+(``precision=``), measured at 3×512/B=256/T=128 on v5e:
+
+* ``"exact"`` (default): f32-forced matmul passes — bitwise parity with the
+  exact-reconstruction identities (15.7 ms reference point);
+* ``"high"``: 3-pass-bf16 matmuls, rel.err ~1e-4 (9.9 ms, 1.6×);
+* ``"fast"``: bf16 params + activations, rel.err ~1e-2 (3.3 ms, 4.7×).
+
+Batch-1 latency is chain/occupancy-bound, not streaming-bound — reduced
+precision does NOT help there (measured: bf16 scan 1.18× SLOWER at 3×512),
+so ``precision`` only changes the batched path.
 """
 
 from __future__ import annotations
@@ -34,13 +46,30 @@ def _max_units(params) -> int:
     return max(l.units for l in params.layers)
 
 
-def predict(params, x, impl: str = "auto"):
+def predict(params, x, impl: str = "auto", precision: str = "exact"):
     """Whole-run inference.
 
     x: (T, d) for batch-1 or (B, T, d) batched. Returns (T, out) / (B, T, out).
     impl: 'auto' | 'scan' | 'fused' | 'hybrid'.
+    precision: 'exact' | 'high' | 'fast' — batched-throughput matmul modes
+    (see module docstring for the measured speed/accuracy trade-offs);
+    ignored for batch-1 input, where reduced precision does not pay.
     """
     batched = x.ndim == 3
+    if batched and precision != "exact":
+        import jax.numpy as jnp
+
+        from svd_lstm_tpu.utils.precision import cast_params
+
+        if precision == "fast":
+            params = cast_params(params, jnp.bfloat16)
+            x = x.astype(jnp.bfloat16)
+            out = predict(params, x, impl=impl, precision="exact")
+            return out.astype(jnp.float32)
+        if precision == "high":
+            with jax.default_matmul_precision("tensorfloat32"):
+                return predict(params, x, impl=impl, precision="exact")
+        raise ValueError(f"unknown precision: {precision!r}")
     x1 = None if batched else x
 
     is_dense = isinstance(params, StackedLSTMParams)

@@ -44,3 +44,33 @@ def test_predict_consistency_across_model_forms(models, rng):
 def test_predict_rejects_unknown():
     with pytest.raises(TypeError):
         st.predict({"not": "a model"}, jnp.zeros((4, 2)))
+
+
+def test_predict_precision_modes(models, rng):
+    """Batched throughput precision modes: 'high' is near-exact, 'fast'
+    (bf16) is bounded-error, both return f32 and preserve shape; batch-1
+    ignores the flag (reduced precision doesn't pay at batch 1 — api.py
+    module docstring records the measurements)."""
+    dense, _, rmodel = models
+    xb = jnp.asarray(rng.normal(size=(3, 30, 6)), jnp.float32)
+    x1 = jnp.asarray(rng.normal(size=(30, 6)), jnp.float32)
+    # fast/bf16 tolerance is loose here: random untrained weights produce
+    # near-zero outputs, inflating relative error (measured 1e-2 on real
+    # trained wide models — BENCH_NOTES.md)
+    for m, fast_tol in ((dense, 5e-2), (rmodel, 0.25)):
+        ref = np.asarray(st.predict(m, xb))
+        scale = np.abs(ref).max()
+        hi = st.predict(m, xb, precision="high")
+        fa = st.predict(m, xb, precision="fast")
+        assert hi.dtype == jnp.float32 and fa.dtype == jnp.float32
+        assert hi.shape == ref.shape and fa.shape == ref.shape
+        assert np.abs(np.asarray(hi) - ref).max() / scale < 1e-3
+        assert np.abs(np.asarray(fa) - ref).max() / scale < fast_tol
+    # batch-1: flag accepted, result unchanged
+    np.testing.assert_allclose(
+        np.asarray(st.predict(dense, x1, precision="fast")),
+        np.asarray(st.predict(dense, x1)),
+        atol=1e-6,
+    )
+    with pytest.raises(ValueError):
+        st.predict(dense, xb, precision="int3")
