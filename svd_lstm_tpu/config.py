@@ -51,6 +51,12 @@ class TrainConfig:
     seed: int = 0
     nan_rollback: bool = True       # reference old_versions/train_full_model.py:133-136
     checkpoint_dir: str = "./model_saves"
+    # Matmul passes inside the train step: "float32" (exact, default),
+    # "tensorfloat32" (3-pass bf16, ~1e-4 error), or "bfloat16" (fastest).
+    # TPUs emulate f32 matmuls at ~6x bf16 cost, so relaxing this buys real
+    # wall-time on compute-bound training (see BENCH_NOTES.md); validation
+    # metrics always run exact.
+    matmul_precision: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -79,10 +79,17 @@ def fit(
     opt_state = optimizer.init(params)
 
     if loss_extra is None:
-        loss_fn = mse_last_step
+        base_loss = mse_last_step
     else:
-        def loss_fn(p, x, y, f):
+        def base_loss(p, x, y, f):
             return mse_last_step(p, x, y, f) + loss_extra(p)
+
+    def loss_fn(p, x, y, f):
+        # cfg.matmul_precision relaxes the train step's matmul passes
+        # (forward AND backward — the context is active while both trace);
+        # the default "float32" keeps exact-reconstruction parity.
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return base_loss(p, x, y, f)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(p, s, x, y):

@@ -39,6 +39,17 @@ class TestFit:
         assert res.history[-1] < res.history[0]
         assert res.rollbacks == 0
 
+    @pytest.mark.parametrize("prec", ["tensorfloat32", "bfloat16"])
+    def test_matmul_precision_trains(self, tiny_run, prec):
+        """Relaxed train-step matmul passes (measured 1.2-2.1x on v5e,
+        BENCH_NOTES.md) must converge like the exact default."""
+        X, y = tiny_run
+        params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=4, units=(8,))
+        res = fit(params, X, y, cfg=_small_cfg(epochs=4, matmul_precision=prec))
+        assert res.rollbacks == 0
+        assert np.isfinite(res.history).all()
+        assert res.history[-1] < res.history[0]
+
     def test_nan_rollback_restores_params(self, tiny_run):
         X, y = tiny_run
         params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=4, units=(8,))
