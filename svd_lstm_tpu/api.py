@@ -11,9 +11,9 @@ The selection table is empirical (BENCH_NOTES.md, v5e device time):
 * reduced models
   - batch-1 on TPU, n ≤ 128: dense reconstruction through the fused kernel
     (exact; the two-step recurrence costs 1.31–5× at the latency floor)
-  - batch-1 on TPU, n ≥ 256, merged kernels: hybrid path — hoisted factored
-    x-side + folded two-step Pallas recurrence (0.75× the best dense at
-    3×512/r=32)
+  - batch-1 on TPU, n ≥ 256: hybrid path — hoisted factored x-side + Pallas
+    two-step recurrence (merged: folded form, 0.75× the best dense at
+    3×512/r=32; split: packed-B form, 0.83×)
   - otherwise: dense-reconstructed scan layout
 
 Batched throughput additionally supports reduced-precision modes
@@ -102,13 +102,15 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
 
     # reduced
     n = _max_units(params)
-    merged = not params.layers[0].split
     if use_kernels:
         if n <= 128 and impl != "hybrid":
             from svd_lstm_tpu.ops.layouts import reduced_forward_fused
 
             return reduced_forward_fused(params, x1)
-        if merged and (n >= 256 or impl == "hybrid"):
+        if n >= 256 or impl == "hybrid":
+            # merged: folded two-step recurrence (0.75× best dense at
+            # 3×512/r=32); split: packed-B two-step (0.83× — one dot for
+            # all gates' projections + per-gate row-compact [I|C])
             from svd_lstm_tpu.ops.pallas_lstm import reduced_forward_hybrid
 
             return reduced_forward_hybrid(params, x1)
