@@ -8,7 +8,11 @@ scripts top-to-bottom; here each stage is a subcommand over the library):
     sweep      — rank-reduction sweep, RMSE curve + gif
     timing     — timing-vs-rank curves
     freq       — toy sine-series task
+    batched    — batched multi-sequence inference demo
     bench      — headline benchmark JSON line
+    export     — checkpoint → deployment artifacts (per-gate CSV, JSON,
+                 optional int8-quantized npz): the reference's LabVIEW
+                 export surface (code/load_preprocess.py:80-165) as a command
 """
 
 import runpy
@@ -23,14 +27,57 @@ _COMMANDS = {
     "sweep": "examples/rank_sweep.py",
     "timing": "examples/timing_curves.py",
     "freq": "examples/frequency_prediction.py",
+    "batched": "examples/batched_inference.py",
     "bench": "bench.py",
 }
 
 
+def _export(argv):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m svd_lstm_tpu export",
+        description="Export a dense-model checkpoint to deployment artifacts.",
+    )
+    ap.add_argument("checkpoint", help=".npz checkpoint or Orbax directory (io.checkpoint)")
+    ap.add_argument("outdir", help="output directory")
+    ap.add_argument("--json", action="store_true", help="also dump model_weights.json")
+    ap.add_argument("--int8", action="store_true", help="also dump an int8-quantized npz")
+    args = ap.parse_args(argv)
+
+    from svd_lstm_tpu.io.checkpoint import load_params, save_params
+    from svd_lstm_tpu.io.csv_weights import (
+        save_model_weights_as_csv,
+        save_model_weights_as_json,
+    )
+
+    params = load_params(args.checkpoint)
+    os.makedirs(args.outdir, exist_ok=True)
+    save_model_weights_as_csv(params, args.outdir)
+    print(f"per-gate CSVs -> {args.outdir}/")
+    if args.json:
+        path = os.path.join(args.outdir, "model_weights.json")
+        save_model_weights_as_json(params, path)
+        print(f"JSON dump -> {path}")
+    if args.int8:
+        from svd_lstm_tpu.utils.quantize import param_bytes, quantize_params
+
+        q = quantize_params(params)
+        path = os.path.join(args.outdir, "model_int8.npz")
+        save_params(path, q)
+        print(
+            f"int8 checkpoint -> {path} "
+            f"({param_bytes(q)} vs {param_bytes(params)} bytes on device)"
+        )
+
+
 def main():
+    if len(sys.argv) >= 2 and sys.argv[1] == "export":
+        _export(sys.argv[2:])
+        return
     if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(__doc__)
-        print("commands:", ", ".join(_COMMANDS))
+        print("commands:", ", ".join([*_COMMANDS, "export"]))
         raise SystemExit(2)
     script = os.path.join(_HERE, _COMMANDS[sys.argv[1]])
     sys.argv = [script] + sys.argv[2:]
