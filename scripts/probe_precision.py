@@ -103,14 +103,14 @@ def fused_stack_int8(params, x, ct=DEFAULT_CT, interpret=False):
     npgs = [_ceil_to(n, LANE) for n in units]
     dp = _ceil_to(d, LANE)
     x_p = pad_cols(x, dp)
+    from svd_lstm_tpu.utils.quantize import quantize_tensor
+
     weights = []
     for i, l in enumerate(params.layers):
         for M in (l.W, l.U):
-            s = jnp.max(jnp.abs(M), axis=0, keepdims=True) / 127.0
-            s = jnp.where(s > 0, s, 1.0)
-            q = jnp.clip(jnp.round(M / s), -127, 127).astype(jnp.int8)
-            weights.append(pad_gate_cols(q, units[i], npgs[i]))
-            weights.append(pad_gate_cols(s, units[i], npgs[i]))
+            t = quantize_tensor(M)
+            weights.append(pad_gate_cols(t.q, units[i], npgs[i]))
+            weights.append(pad_gate_cols(t.scale, units[i], npgs[i]))
         weights.append(pad_gate_cols(l.b.reshape(1, -1), units[i], npgs[i]))
     CT = min(ct, _ceil_to(T, 8))
     Tp = _ceil_to(T, CT)

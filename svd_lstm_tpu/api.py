@@ -55,7 +55,14 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
     (see module docstring for the measured speed/accuracy trade-offs);
     ignored for batch-1 input, where reduced precision does not pay.
     """
+    if precision not in ("exact", "high", "fast"):
+        raise ValueError(f"unknown precision: {precision!r}")
     batched = x.ndim == 3
+    if batched and impl in ("fused", "hybrid"):
+        raise ValueError(
+            f"impl={impl!r} kernels are batch-1 only; use impl='auto'/'scan' "
+            "for (B, T, d) input (batched throughput runs the XLA scan path)"
+        )
     if batched and precision != "exact":
         import jax.numpy as jnp
 
@@ -66,10 +73,8 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
             x = x.astype(jnp.bfloat16)
             out = predict(params, x, impl=impl, precision="exact")
             return out.astype(jnp.float32)
-        if precision == "high":
-            with jax.default_matmul_precision("tensorfloat32"):
-                return predict(params, x, impl=impl, precision="exact")
-        raise ValueError(f"unknown precision: {precision!r}")
+        with jax.default_matmul_precision("tensorfloat32"):
+            return predict(params, x, impl=impl, precision="exact")
     x1 = None if batched else x
 
     is_dense = isinstance(params, StackedLSTMParams)

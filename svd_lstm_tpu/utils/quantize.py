@@ -72,13 +72,15 @@ def quantize_params(params: Any) -> Any:
     """
 
     def maybe_q(x):
+        if _is_qt(x):  # idempotent: already-quantized leaves pass through
+            return x
         if hasattr(x, "ndim") and x.ndim >= 2 and jnp.issubdtype(
             jnp.asarray(x).dtype, jnp.floating
         ):
             return quantize_tensor(x)
         return x
 
-    return jax.tree.map(maybe_q, params)
+    return jax.tree.map(maybe_q, params, is_leaf=_is_qt)
 
 
 def dequantize_params(qparams: Any) -> Any:

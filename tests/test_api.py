@@ -74,3 +74,14 @@ def test_predict_precision_modes(models, rng):
     )
     with pytest.raises(ValueError):
         st.predict(dense, xb, precision="int3")
+
+
+def test_predict_rejects_bad_args(models, rng):
+    dense, _, _ = models
+    x1 = jnp.asarray(rng.normal(size=(10, 6)), jnp.float32)
+    xb = jnp.asarray(rng.normal(size=(2, 10, 6)), jnp.float32)
+    with pytest.raises(ValueError):  # batch-1 input must also validate precision
+        st.predict(dense, x1, precision="bogus")
+    for impl in ("fused", "hybrid"):  # batch-1-only kernels refuse batched input
+        with pytest.raises(ValueError):
+            st.predict(dense, xb, impl=impl)

@@ -85,3 +85,13 @@ def test_quantized_checkpoint_roundtrip(tmp_path):
     assert back.layers[0].W.q.dtype == jnp.int8
     for a, b in zip(jax.tree.leaves(q), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quantize_params_idempotent():
+    params = init_stacked_lstm(jax.random.PRNGKey(4), input_dim=5, units=(4,))
+    q = quantize_params(params)
+    qq = quantize_params(q)  # must be a no-op, not nested quantization
+    assert isinstance(qq.layers[0].W, QuantizedTensor)
+    assert not isinstance(qq.layers[0].W.scale, QuantizedTensor)
+    for a, b in zip(jax.tree.leaves(q), jax.tree.leaves(qq)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
