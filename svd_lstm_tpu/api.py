@@ -4,7 +4,7 @@ implementation selection.
 The selection table is empirical (BENCH_NOTES.md, v5e device time):
 
 * dense / singular models
-  - batch-1 on TPU, n ≤ 128: fused compact-weight Pallas kernel (4.42 ms
+  - batch-1 on TPU, n ≤ 128: fused compact-weight Pallas kernel (3.71 ms
     vs 7.36 ms scan for the 4×40 DROPBEAR run)
   - otherwise: XLA scan with hoisted input projections (wide models are
     weight-streaming-bound and the scan wins; batched throughput likewise)
@@ -12,8 +12,8 @@ The selection table is empirical (BENCH_NOTES.md, v5e device time):
   - batch-1 on TPU, n ≤ 128: dense reconstruction through the fused kernel
     (exact; the two-step recurrence costs 1.31–5× at the latency floor)
   - batch-1 on TPU, n ≥ 256: hybrid path — hoisted factored x-side + Pallas
-    two-step recurrence (merged: folded form, 0.75× the best dense at
-    3×512/r=32; split: packed-B form, 0.83×)
+    two-step recurrence (merged: folded form, 0.71× the best dense at
+    3×512/r=32; split: packed-B form, 0.79×)
   - otherwise: dense-reconstructed scan layout
 
 Batched throughput additionally supports reduced-precision modes
@@ -113,8 +113,8 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
 
             return reduced_forward_fused(params, x1)
         if n >= 256 or impl == "hybrid":
-            # merged: folded two-step recurrence (0.75× best dense at
-            # 3×512/r=32); split: packed-B two-step (0.83× — one dot for
+            # merged: folded two-step recurrence (0.71× best dense at
+            # 3×512/r=32); split: packed-B two-step (0.79× — one dot for
             # all gates' projections + per-gate row-compact [I|C])
             from svd_lstm_tpu.ops.pallas_lstm import reduced_forward_hybrid
 

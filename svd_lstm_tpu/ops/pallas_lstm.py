@@ -47,10 +47,30 @@ from svd_lstm_tpu.utils.linalg import fold_IC, pad_cols, pad_gate_cols
 
 LANE = 128
 DEFAULT_CT = 512
+# Time-loop unroll factor: amortizes per-step loop management in the
+# sequential recurrence. Measured at the headline point (4×40, T=6656,
+# batch-1): 4.42 ms unrolled=1 → 3.71 ms at 16 (knee; 32 is 3.69 ms at 2×
+# the compile time) — scripts/probe_unroll.py.
+DEFAULT_UNROLL = 16
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _time_loop(step, CT: int, unroll: int) -> None:
+    """Run ``step(t)`` for t in [0, CT) as a fori_loop unrolled ``unroll``×
+    (clamped to a divisor of CT, which is always a multiple of 8)."""
+    u = max(1, min(unroll, CT))
+    while CT % u:
+        u //= 2
+
+    def body(j, _):
+        for k in range(u):
+            step(j * u + k)
+        return 0
+
+    jax.lax.fori_loop(0, CT // u, body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -109,6 +129,7 @@ def lstm_recurrence_pallas(
     c0: jax.Array | None = None,
     ct: int = DEFAULT_CT,
     interpret: bool = False,
+    unroll: int = DEFAULT_UNROLL,
 ) -> jax.Array:
     """Dense h-side recurrence; returns h_seq (T, n)."""
     T, g4 = xp.shape
@@ -131,15 +152,14 @@ def lstm_recurrence_pallas(
             h_scr[:] = h0_ref[:]
             c_scr[:] = c0_ref[:]
 
-        def body(t, _):
+        def step(t):
             z = xp_ref[pl.ds(t, 1), :] + _dot(h_scr[:, :n], u_ref[:])
             h, c = _gates_p(z, c_scr[:], npg)
             h_scr[:] = h
             c_scr[:] = c
             out_ref[pl.ds(t, 1), :] = h
-            return 0
 
-        jax.lax.fori_loop(0, CT, body, 0)
+        _time_loop(step, CT, unroll)
 
     h_seq = _recurrence_call(
         kernel, T, CT, npg, [U_p, h0_p, c0_p], xp_p,
@@ -156,6 +176,7 @@ def reduced_recurrence_pallas(
     c0: jax.Array | None = None,
     ct: int = DEFAULT_CT,
     interpret: bool = False,
+    unroll: int = DEFAULT_UNROLL,
 ) -> jax.Array:
     """Low-rank h-side recurrence via the folded (h@B)@[I|C] form."""
     T, g4 = xp.shape
@@ -196,7 +217,7 @@ def reduced_recurrence_pallas(
                 h_scr[:] = h0_ref[:]
                 c_scr[:] = c0_ref[:]
 
-            def body(t, _):
+            def step(t):
                 hb = _dot(h_scr[:, :n], refs[0][:])  # (1, Rp), all gates
                 for g in range(4):
                     z_scr[:, g * npg : (g + 1) * npg] = _dot(
@@ -207,9 +228,8 @@ def reduced_recurrence_pallas(
                 h_scr[:] = hn
                 c_scr[:] = cn
                 out_ref[pl.ds(t, 1), :] = hn
-                return 0
 
-            jax.lax.fori_loop(0, CT, body, 0)
+            _time_loop(step, CT, unroll)
 
         h_seq = _recurrence_call(
             kernel, T, CT, npg, weights, xp_p,
@@ -236,16 +256,15 @@ def reduced_recurrence_pallas(
             h_scr[:] = h0_ref[:]
             c_scr[:] = c0_ref[:]
 
-        def body(t, _):
+        def step(t):
             hb = _dot(h_scr[:, :n], b_ref[:])
             z = _dot(hb[:, :r], ic_ref[:]) + xp_ref[pl.ds(t, 1), :]
             hn, cn = _gates_p(z, c_scr[:], npg)
             h_scr[:] = hn
             c_scr[:] = cn
             out_ref[pl.ds(t, 1), :] = hn
-            return 0
 
-        jax.lax.fori_loop(0, CT, body, 0)
+        _time_loop(step, CT, unroll)
 
     h_seq = _recurrence_call(
         kernel, T, CT, npg, [B_p, IC_p, h0_p, c0_p], xp_p,
@@ -263,6 +282,7 @@ def fused_dense_stack_pallas(
     x: jax.Array,
     ct: int = DEFAULT_CT,
     interpret: bool = False,
+    unroll: int = DEFAULT_UNROLL,
 ) -> jax.Array:
     """Whole stacked model + head in one kernel. x: (T, d) -> y: (T, out).
 
@@ -300,7 +320,7 @@ def fused_dense_stack_pallas(
             for s in scr:
                 s[:] = jnp.zeros_like(s)
 
-        def body(t, _):
+        def step(t):
             inp = x_ref[pl.ds(t, 1), :d]
             for i in range(L):
                 z = (
@@ -313,9 +333,8 @@ def fused_dense_stack_pallas(
                 scr[2 * i + 1][:] = c
                 inp = h[:, : units[i]]
             out_ref[pl.ds(t, 1), :] = scr[2 * (L - 1)][:]
-            return 0
 
-        jax.lax.fori_loop(0, CT, body, 0)
+        _time_loop(step, CT, unroll)
 
     scratch = []
     for npg in npgs:
@@ -340,6 +359,7 @@ def fused_reduced_stack_pallas(
     x: jax.Array,
     ct: int = DEFAULT_CT,
     interpret: bool = False,
+    unroll: int = DEFAULT_UNROLL,
 ) -> jax.Array:
     """Whole reduced (folded two-step) model + head in one kernel.
 
@@ -398,7 +418,7 @@ def fused_reduced_stack_pallas(
                 scr[3 * i][:] = jnp.zeros_like(scr[3 * i])
                 scr[3 * i + 1][:] = jnp.zeros_like(scr[3 * i + 1])
 
-        def body(t, _):
+        def step(t):
             inp = x_ref[pl.ds(t, 1), :d]
             for i, (split, first, w_ranks, u_ranks) in enumerate(layouts):
                 npg = npgs[i]
@@ -424,9 +444,8 @@ def fused_reduced_stack_pallas(
                 c_scr[:] = c
                 inp = h[:, :n_i]
             out_ref[pl.ds(t, 1), :] = scr[3 * (L - 1)][:]
-            return 0
 
-        jax.lax.fori_loop(0, CT, body, 0)
+        _time_loop(step, CT, unroll)
 
     scratch = []
     for npg in npgs:
