@@ -105,3 +105,19 @@ class TestFusedStacks:
         ref = np.asarray(reduced_lstm_apply(rmodel, x_run[None]))[0]
         ours = np.asarray(reduced_forward_hybrid(rmodel, x_run, interpret=True))
         np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+class TestTimeLoopUnroll:
+    @pytest.mark.parametrize("T", [9, 17, 33, 48])
+    def test_unroll_divisor_fallback(self, rng, T):
+        """_time_loop clamps the unroll factor to a divisor of the chunk
+        length; awkward T values must still match the XLA scan exactly."""
+        n = 8
+        xp = jnp.asarray(rng.normal(size=(T, 4 * n)), jnp.float32)
+        U = jnp.asarray(rng.normal(scale=0.3, size=(n, 4 * n)), jnp.float32)
+        h0 = jnp.zeros((1, n))
+        c0 = jnp.zeros((1, n))
+        for unroll in (1, 3, 16):
+            ours = lstm_recurrence_pallas(xp, U, h0, c0, interpret=True, unroll=unroll)
+            ref = lstm_recurrence_xla(xp[None], U, h0, c0)[0]
+            np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
