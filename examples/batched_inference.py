@@ -25,7 +25,10 @@ def main():
     ap.add_argument("--wide", action="store_true", help="use the 3x512 stretch model")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--quick", action="store_true", help="tiny shapes for a CPU smoke run")
     args = ap.parse_args()
+    if args.quick:
+        args.batch, args.steps = 4, 32
 
     import jax
     import jax.numpy as jnp

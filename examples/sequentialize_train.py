@@ -23,7 +23,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--out", default="./model_saves")
+    ap.add_argument("--quick", action="store_true", help="1-epoch CPU smoke run")
     args = ap.parse_args()
+    if args.quick:
+        args.epochs = 1
 
     import jax
     import jax.numpy as jnp
