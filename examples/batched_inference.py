@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--quick", action="store_true", help="tiny shapes for a CPU smoke run")
+    ap.add_argument(
+        "--precision", default="exact", choices=["exact", "high", "fast"],
+        help="matmul precision for the sharded forward (BENCH_NOTES.md: "
+        "'high' ~1.6x at 1e-4 err, 'fast' bf16 ~4.7x at 1e-2 err on wide models)",
+    )
     args = ap.parse_args()
     if args.quick:
         args.batch, args.steps = 4, 32
@@ -50,10 +55,24 @@ def main():
     mesh = make_mesh(dp=n_dev, tp=1)
     run = make_batched_inference(mesh, stacked_lstm_apply)
 
-    out = jax.block_until_ready(run(params, X))
+    if args.precision == "fast":
+        from svd_lstm_tpu.utils.precision import cast_params
+
+        params_x, X_x = cast_params(params, jnp.bfloat16), X.astype(jnp.bfloat16)
+    else:
+        params_x, X_x = params, X
+
+    def timed():
+        if args.precision == "high":
+            with jax.default_matmul_precision("tensorfloat32"):
+                return jax.block_until_ready(run(params_x, X_x))
+        return jax.block_until_ready(run(params_x, X_x))
+
+    out = timed()
     t0 = time.perf_counter()
-    out = jax.block_until_ready(run(params, X))
+    out = timed()
     dt = time.perf_counter() - t0
+    out = jnp.asarray(out, jnp.float32)
     ref = stacked_lstm_apply(params, X[: B // n_dev], return_sequences=True)
     err = float(jnp.abs(out[: B // n_dev] - ref).max())
     print(
