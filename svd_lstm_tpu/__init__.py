@@ -65,3 +65,11 @@ from svd_lstm_tpu.factor.svd import (
 from svd_lstm_tpu.factor.regularizers import hoyer_penalty, orthogonal_penalty
 from svd_lstm_tpu.train.metrics import rmse, nrmse, signaltonoise
 from svd_lstm_tpu.api import predict
+from svd_lstm_tpu.io.checkpoint import load_params, save_params
+from svd_lstm_tpu.utils.precision import cast_params
+from svd_lstm_tpu.utils.quantize import (
+    QuantizedTensor,
+    dequantize_params,
+    quantize_params,
+    quantized_apply,
+)
