@@ -55,18 +55,16 @@ def main():
     mesh = make_mesh(dp=n_dev, tp=1)
     run = make_batched_inference(mesh, stacked_lstm_apply)
 
-    if args.precision == "fast":
-        from svd_lstm_tpu.utils.precision import cast_params
+    from svd_lstm_tpu.utils.precision import cast_params, matmul_scope
 
+    if args.precision == "fast":
         params_x, X_x = cast_params(params, jnp.bfloat16), X.astype(jnp.bfloat16)
     else:
         params_x, X_x = params, X
 
     def timed():
-        if args.precision == "high":
-            with jax.default_matmul_precision("tensorfloat32"):
-                return jax.block_until_ready(run(params_x, X_x))
-        return jax.block_until_ready(run(params_x, X_x))
+        with matmul_scope(args.precision):
+            return jax.block_until_ready(run(params_x, X_x))
 
     out = timed()
     t0 = time.perf_counter()

@@ -55,8 +55,9 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
     (see module docstring for the measured speed/accuracy trade-offs);
     ignored for batch-1 input, where reduced precision does not pay.
     """
-    if precision not in ("exact", "high", "fast"):
-        raise ValueError(f"unknown precision: {precision!r}")
+    from svd_lstm_tpu.utils.precision import cast_params, matmul_scope
+
+    scope = matmul_scope(precision)  # also validates the mode name
     batched = x.ndim == 3
     if batched and impl in ("fused", "hybrid"):
         raise ValueError(
@@ -66,14 +67,12 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
     if batched and precision != "exact":
         import jax.numpy as jnp
 
-        from svd_lstm_tpu.utils.precision import cast_params
-
         if precision == "fast":
             params = cast_params(params, jnp.bfloat16)
             x = x.astype(jnp.bfloat16)
             out = predict(params, x, impl=impl, precision="exact")
             return out.astype(jnp.float32)
-        with jax.default_matmul_precision("tensorfloat32"):
+        with scope:
             return predict(params, x, impl=impl, precision="exact")
     x1 = None if batched else x
 
