@@ -116,6 +116,12 @@ def fit(
     X_mini, y_mini = split_train_random(
         X_train, y_train, cfg.num_windows, cfg.window_len, seed=cfg.seed
     )
+    if jit_epoch:
+        # The whole window set moves to device ONCE; each epoch's shuffle is
+        # a device-side gather driven by a host permutation (20k int32s).
+        # Re-shipping the windows per epoch costs ~30 s/epoch at the
+        # reference scale (256 MB) through a tunneled backend.
+        X_dev, y_dev = jnp.asarray(X_mini), jnp.asarray(y_mini)
 
     val_fn = None
     if validation is not None:
@@ -136,12 +142,10 @@ def fit(
         if jit_epoch:
             rng_e = np.random.default_rng(cfg.seed + epoch)
             n_full = (X_mini.shape[0] // cfg.batch_size) * cfg.batch_size
-            perm = rng_e.permutation(X_mini.shape[0])[:n_full]
-            xs = X_mini[perm].reshape(-1, cfg.batch_size, *X_mini.shape[1:])
-            ys = y_mini[perm].reshape(-1, cfg.batch_size)
-            params, opt_state, mean_loss = epoch_scan(
-                params, opt_state, jnp.asarray(xs), jnp.asarray(ys)
-            )
+            perm = jnp.asarray(rng_e.permutation(X_mini.shape[0])[:n_full])
+            xs = X_dev[perm].reshape(-1, cfg.batch_size, *X_dev.shape[1:])
+            ys = y_dev[perm].reshape(-1, cfg.batch_size)
+            params, opt_state, mean_loss = epoch_scan(params, opt_state, xs, ys)
             epoch_loss = float(mean_loss)
         else:
             losses = []
