@@ -68,14 +68,18 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
         import jax.numpy as jnp
 
         if precision == "fast":
+            # In bf16 the factored forms' extra intermediates cost more than
+            # the MXU time they save (6.2 vs 3.3 ms at 3×512/r=64/B=256) —
+            # reconstruct to dense (exact, in f32) and run the dense scan
+            # instead. See BENCH_NOTES.md.
             if isinstance(params, ReducedModelParams):
-                # In bf16 the two-step's extra intermediates cost more than
-                # the MXU time they save (6.2 vs 3.3 ms at 3×512/r=64/B=256)
-                # — reconstruct to dense (exact, in f32) and run the dense
-                # scan instead. See BENCH_NOTES.md.
                 from svd_lstm_tpu.ops.layouts import reconstruct_dense_model
 
                 params = reconstruct_dense_model(params)
+            elif isinstance(params, SingularModelParams):
+                from svd_lstm_tpu.factor.svd import singular_to_dense
+
+                params = singular_to_dense(params)
             params = cast_params(params, jnp.bfloat16)
             x = x.astype(jnp.bfloat16)
             out = predict(params, x, impl=impl, precision="exact")
