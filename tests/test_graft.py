@@ -24,3 +24,33 @@ def test_dryrun_multichip_8():
 
 def test_dryrun_multichip_odd():
     graft.dryrun_multichip(3)  # tp falls back to 1
+
+
+def test_dryrun_multichip_driver_environment():
+    """Round-1 regression (VERDICT.md weak #1/#2): the driver invokes
+    ``dryrun_multichip`` in a process WITHOUT conftest's CPU pinning — a TPU
+    plugin sitecustomize may have registered a default TPU backend at
+    interpreter startup. The dryrun must pin the platform itself so that
+    ``jnp.asarray`` / optimizer init / ``device_put`` cannot dispatch to a
+    (possibly broken or single-chip) TPU backend. Run it in a subprocess
+    with the driver's environment shape: repo on the path, any TPU-plugin
+    PYTHONPATH entries preserved, and no JAX_PLATFORMS / XLA_FLAGS pins.
+    """
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and p != repo]
+    env["PYTHONPATH"] = os.pathsep.join([repo] + pp)
+    res = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=repo,
+    )
+    assert res.returncode == 0, f"stderr tail:\n{res.stderr[-3000:]}"
+    assert "dryrun_multichip OK" in res.stdout
