@@ -33,10 +33,14 @@ class TrainResult:
     history: list                      # per-epoch mean loss
     rollbacks: int = 0                 # NaN-rollback count
     val_history: list = dataclasses.field(default_factory=list)
+    opt_state: Any = None              # final optimizer state (resume/inspection)
 
 
-def mse_last_step(params, x, y, apply_fn) -> jax.Array:
-    pred = apply_fn(params, x, return_sequences=False)[..., 0]
+def mse_last_step(params, x, y, apply_fn, rng=None) -> jax.Array:
+    if rng is None:
+        pred = apply_fn(params, x, return_sequences=False)[..., 0]
+    else:
+        pred = apply_fn(params, x, return_sequences=False, rng=rng)[..., 0]
     return jnp.mean(jnp.square(pred - y))
 
 
@@ -52,6 +56,8 @@ def fit(
     checkpoint_path: str | None = None,
     jit_epoch: bool = True,
     verbose: bool = False,
+    windows: tuple | None = None,
+    dropout_rng: jax.Array | None = None,
 ) -> TrainResult:
     """Train ``params`` on random windows of the (1, T, d) training run.
 
@@ -79,43 +85,52 @@ def fit(
     opt_state = optimizer.init(params)
 
     if loss_extra is None:
-        base_loss = mse_last_step
+        def base_loss(p, x, y, f, rng=None):
+            return mse_last_step(p, x, y, f, rng)
     else:
-        def base_loss(p, x, y, f):
-            return mse_last_step(p, x, y, f) + loss_extra(p)
+        def base_loss(p, x, y, f, rng=None):
+            return mse_last_step(p, x, y, f, rng) + loss_extra(p)
 
-    def loss_fn(p, x, y, f):
+    def loss_fn(p, x, y, f, rng=None):
         # cfg.matmul_precision relaxes the train step's matmul passes
         # (forward AND backward — the context is active while both trace);
         # the default "float32" keeps exact-reconstruction parity.
         with jax.default_matmul_precision(cfg.matmul_precision):
-            return base_loss(p, x, y, f)
+            return base_loss(p, x, y, f, rng)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(p, s, x, y):
-        loss, grads = jax.value_and_grad(loss_fn)(p, x, y, apply_fn)
+    def step(p, s, x, y, rng=None):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, y, apply_fn, rng)
         updates, s = optimizer.update(grads, s, p)
         p = optax.apply_updates(p, updates)
         return p, s, loss
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_scan(p, s, xs, ys):
-        """xs: (steps, batch, T, d); ys: (steps, batch)."""
+    def epoch_scan(p, s, xs, ys, keys=None):
+        """xs: (steps, batch, T, d); ys: (steps, batch); keys: per-step
+        dropout keys (steps, 2) or None."""
 
         def body(carry, xy):
             p, s = carry
-            x, y = xy
-            loss, grads = jax.value_and_grad(loss_fn)(p, x, y, apply_fn)
+            x, y = xy[0], xy[1]
+            rng = xy[2] if len(xy) == 3 else None
+            loss, grads = jax.value_and_grad(loss_fn)(p, x, y, apply_fn, rng)
             updates, s = optimizer.update(grads, s, p)
             p = optax.apply_updates(p, updates)
             return (p, s), loss
 
-        (p, s), losses = jax.lax.scan(body, (p, s), (xs, ys))
+        scan_xs = (xs, ys) if keys is None else (xs, ys, keys)
+        (p, s), losses = jax.lax.scan(body, (p, s), scan_xs)
         return p, s, jnp.mean(losses)
 
-    X_mini, y_mini = split_train_random(
-        X_train, y_train, cfg.num_windows, cfg.window_len, seed=cfg.seed
-    )
+    if windows is not None:
+        # Pre-built (X_mini, y_mini) window set — bypasses the random
+        # sampler (used for custom curricula and fault-injection tests).
+        X_mini, y_mini = windows
+    else:
+        X_mini, y_mini = split_train_random(
+            X_train, y_train, cfg.num_windows, cfg.window_len, seed=cfg.seed
+        )
     if jit_epoch:
         # The whole window set moves to device ONCE; each epoch's shuffle is
         # a device-side gather driven by a host permutation (20k int32s).
@@ -133,7 +148,12 @@ def fit(
             )
         )
 
+    # NaN rollback restores BOTH params and optimizer state: the reference's
+    # checkpoint reload keeps Keras' in-process optimizer moments intact
+    # (old_versions/train_full_model.py:133-136), so resetting adam's mu/nu
+    # to zero here would diverge from that semantics (VERDICT.md weak #5).
     last_good = jax.device_get(params)
+    last_good_opt = jax.device_get(opt_state)
     history = []
     val_history = []
     rollbacks = 0
@@ -145,15 +165,27 @@ def fit(
             perm = jnp.asarray(rng_e.permutation(X_mini.shape[0])[:n_full])
             xs = X_dev[perm].reshape(-1, cfg.batch_size, *X_dev.shape[1:])
             ys = y_dev[perm].reshape(-1, cfg.batch_size)
-            params, opt_state, mean_loss = epoch_scan(params, opt_state, xs, ys)
+            keys = None
+            if dropout_rng is not None:
+                # fresh per-batch masks, Keras-style (a new mask set each
+                # cell build/call), deterministic given (dropout_rng, epoch)
+                keys = jax.random.split(
+                    jax.random.fold_in(dropout_rng, epoch), xs.shape[0]
+                )
+            params, opt_state, mean_loss = epoch_scan(params, opt_state, xs, ys, keys)
             epoch_loss = float(mean_loss)
         else:
             losses = []
-            for xb, yb in window_epoch_iterator(
+            for i, (xb, yb) in enumerate(window_epoch_iterator(
                 X_mini, y_mini, cfg.batch_size, seed=cfg.seed + epoch
-            ):
+            )):
+                rng_b = None
+                if dropout_rng is not None:
+                    rng_b = jax.random.fold_in(
+                        jax.random.fold_in(dropout_rng, epoch), i
+                    )
                 params, opt_state, loss = step(
-                    params, opt_state, jnp.asarray(xb), jnp.asarray(yb)
+                    params, opt_state, jnp.asarray(xb), jnp.asarray(yb), rng_b
                 )
                 losses.append(loss)
             epoch_loss = float(jnp.mean(jnp.stack(losses)))
@@ -161,12 +193,13 @@ def fit(
             # reference old_versions/train_full_model.py:133-136: reload the
             # last checkpoint and keep going.
             params = jax.tree.map(jnp.asarray, last_good)
-            opt_state = optimizer.init(params)
+            opt_state = jax.tree.map(jnp.asarray, last_good_opt)
             rollbacks += 1
             if verbose:
                 print(f"epoch {epoch}: NaN loss — rolled back")
             continue
         last_good = jax.device_get(params)
+        last_good_opt = jax.device_get(opt_state)
         history.append(epoch_loss)
         msg = f"epoch {epoch}: loss {epoch_loss:.6f}"
         if val_fn is not None:
@@ -182,7 +215,7 @@ def fit(
             print(msg)
     return TrainResult(
         params=params, history=history, rollbacks=rollbacks,
-        val_history=val_history,
+        val_history=val_history, opt_state=opt_state,
     )
 
 

@@ -63,6 +63,47 @@ class TestFit:
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(res.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_nan_rollback_restores_optimizer_state(self):
+        """VERDICT.md weak #5: a rollback must restore the adam moments
+        snapshotted with the last good params, not reinitialize them to zero
+        (the reference's in-process Keras checkpoint reload keeps optimizer
+        state, old_versions/train_full_model.py:133-136).
+
+        Fault injection: one poisoned window (NaN target) that epoch 0's
+        batch-truncation permutation drops and epoch 1's includes, so epoch
+        0 trains cleanly (nonzero moments) and epoch 1 NaNs out.
+        """
+        n_win, T, d, bs, seed = 9, 10, 2, 4, 0
+        dropped0 = int(np.random.default_rng(seed + 0).permutation(n_win)[-1])
+        dropped1 = int(np.random.default_rng(seed + 1).permutation(n_win)[-1])
+        assert dropped0 != dropped1, "pick another seed"
+
+        rng = np.random.default_rng(7)
+        X_mini = rng.normal(size=(n_win, T, d)).astype(np.float32)
+        y_mini = rng.normal(size=(n_win,)).astype(np.float32)
+        y_poisoned = y_mini.copy()
+        y_poisoned[dropped0] = np.nan
+
+        params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=d, units=(8,))
+        dummy_X, dummy_y = np.zeros((1, 2 * T, d), np.float32), np.zeros(2 * T, np.float32)
+        cfg1 = _small_cfg(epochs=1, batch_size=bs, seed=seed)
+        cfg2 = _small_cfg(epochs=2, batch_size=bs, seed=seed)
+
+        ref = fit(params, dummy_X, dummy_y, cfg=cfg1, windows=(X_mini, y_poisoned))
+        res = fit(params, dummy_X, dummy_y, cfg=cfg2, windows=(X_mini, y_poisoned))
+
+        assert res.rollbacks == 1 and len(res.history) == 1
+        assert np.isclose(res.history[0], ref.history[0])
+        # params rolled back to the post-epoch-0 state
+        for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(res.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # adam moments survived the rollback (and are genuinely nonzero)
+        ref_leaves = jax.tree.leaves(ref.opt_state)
+        res_leaves = jax.tree.leaves(res.opt_state)
+        assert any(np.abs(np.asarray(l)).max() > 0 for l in ref_leaves)
+        for a, b in zip(ref_leaves, res_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_predict_full_run_shape(self, tiny_run):
         X, y = tiny_run
         params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=4, units=(8,))
