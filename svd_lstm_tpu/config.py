@@ -70,6 +70,11 @@ class FactorConfig:
     cutoff: float = 0.05            # σ truncation threshold
     finetune_epochs: int = 10
     finetune_batch_size: int = 32
+    # Keras-semantics dropout during the fine-tune: masks on the cell inputs
+    # / on h_{t-1}, constant across time, fresh per batch (reference
+    # SingularLSTMCell dropout support, code/svd_classes_v3.py:121-137).
+    dropout: float = 0.0
+    recurrent_dropout: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

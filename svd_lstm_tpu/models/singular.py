@@ -89,14 +89,54 @@ def singular_recurrent_product(p: SingularLayerParams, h: jax.Array) -> jax.Arra
     return _three_step_merged(h, p.ul, p.us, p.ur)
 
 
+def dropout_masks(rng, rate: float, shape, count: int, dtype):
+    """``count`` inverted-scaled Bernoulli keep-masks, drawn ONCE (so they
+    are constant across every timestep of the scan — Keras
+    ``get_dropout_mask_for_cell`` semantics, reference
+    code/svd_classes_v3.py:121-124)."""
+    keep = 1.0 - rate
+    return jax.random.bernoulli(rng, keep, (count, *shape)).astype(dtype) / keep
+
+
+def _masked_input_projection(p, x_seq, dp):
+    """Input three-step product with dropout masks applied to the inputs.
+
+    Merged path multiplies the inputs by ONE mask (reference
+    code/svd_classes_v3.py:125-126 uses dp_mask[0] only); the split path
+    masks per gate (reference :154-163 feeds inputs_i..inputs_o through the
+    per-gate factor chains).
+    """
+    if p.split:
+        # (B, T, 4, d): gate-masked inputs, mask constant across time
+        xm = x_seq[:, :, None, :] * jnp.transpose(dp, (1, 0, 2))[:, None]
+        xg = jnp.einsum("btgd,gdk->btgk", xm, p.wl) * p.ws
+        xp = jnp.einsum("btgk,gkn->btgn", xg, p.wr)
+        return xp.reshape(*xp.shape[:-2], -1) + p.b
+    return _three_step_merged(x_seq * dp[0][:, None, :], p.wl, p.ws, p.wr) + p.b
+
+
+def _masked_recurrent_product(p, h, rdp):
+    """Recurrent three-step product with recurrent-dropout masks on h_{t-1}
+    (reference code/svd_classes_v3.py:135-137 merged, :196-205 split)."""
+    if p.split:
+        hm = h[:, None, :] * jnp.transpose(rdp, (1, 0, 2))  # (B, 4, n)
+        hg = jnp.einsum("bgn,gnk->bgk", hm, p.ul) * p.us
+        z = jnp.einsum("bgk,gkn->bgn", hg, p.ur)
+        return z.reshape(*z.shape[:-2], -1)
+    return _three_step_merged(h * rdp[0], p.ul, p.us, p.ur)
+
+
 def singular_layer_apply(
     p: SingularLayerParams,
     x_seq: jax.Array,
     h0: jax.Array | None = None,
     c0: jax.Array | None = None,
     return_state: bool = False,
+    dropout: float = 0.0,
+    recurrent_dropout: float = 0.0,
+    rng: jax.Array | None = None,
 ):
-    B, T, _ = x_seq.shape
+    B, T, d = x_seq.shape
     n = p.units
     dtype = x_seq.dtype
     if h0 is None:
@@ -104,12 +144,29 @@ def singular_layer_apply(
     if c0 is None:
         c0 = jnp.zeros((B, n), dtype)
 
-    xp = singular_input_projection(p, x_seq)
+    use_dp = dropout > 0.0
+    use_rdp = recurrent_dropout > 0.0
+    if (use_dp or use_rdp) and rng is None:
+        raise ValueError("dropout requires an rng key")
+    if use_dp or use_rdp:
+        k_dp, k_rdp = jax.random.split(rng)
+
+    if use_dp:
+        dp = dropout_masks(k_dp, dropout, (B, d), 4 if p.split else 1, dtype)
+        xp = _masked_input_projection(p, x_seq, dp)
+    else:
+        xp = singular_input_projection(p, x_seq)
     xp_t = jnp.swapaxes(xp, 0, 1)
+
+    if use_rdp:
+        rdp = dropout_masks(k_rdp, recurrent_dropout, (B, n), 4 if p.split else 1, dtype)
 
     def step(carry, xp_step):
         h, c = carry
-        z = xp_step + singular_recurrent_product(p, h)
+        if use_rdp:
+            z = xp_step + _masked_recurrent_product(p, h, rdp)
+        else:
+            z = xp_step + singular_recurrent_product(p, h)
         h, c = gate_update(z, c)
         return (h, c), h
 
@@ -124,10 +181,19 @@ def singular_lstm_apply(
     params: SingularModelParams,
     x_seq: jax.Array,
     return_sequences: bool = True,
+    dropout: float = 0.0,
+    recurrent_dropout: float = 0.0,
+    rng: jax.Array | None = None,
 ) -> jax.Array:
+    use_drop = dropout > 0.0 or recurrent_dropout > 0.0
+    if use_drop and rng is None:
+        raise ValueError("dropout requires an rng key")
+    keys = jax.random.split(rng, len(params.layers)) if use_drop else [None] * len(params.layers)
     h = x_seq
-    for layer in params.layers:
-        h = singular_layer_apply(layer, h)
+    for layer, k in zip(params.layers, keys):
+        h = singular_layer_apply(
+            layer, h, dropout=dropout, recurrent_dropout=recurrent_dropout, rng=k
+        )
     if not return_sequences:
         h = h[:, -1]
     return h @ params.head.w + params.head.b

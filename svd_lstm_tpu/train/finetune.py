@@ -84,15 +84,38 @@ def finetune(
             batch_size=factor_cfg.finetune_batch_size,
         )
     optimizer = make_finetune_optimizer(sparams, factor_cfg, train_cfg.learning_rate)
+
+    # Dropout runs only on the training loss (Keras training=True); the
+    # loop's validation path calls apply_fn without an rng, which keeps
+    # evaluation deterministic (reference code/svd_classes_v3.py:121-137).
+    dropout_rng = None
+    apply_fn = singular_lstm_apply
+
+    if factor_cfg.dropout > 0.0 or factor_cfg.recurrent_dropout > 0.0:
+        dropout_rng = jax.random.PRNGKey(train_cfg.seed ^ 0x5EED)
+
+        def apply_fn(p, x, return_sequences=True, rng=None):
+            if rng is None:
+                return singular_lstm_apply(p, x, return_sequences)
+            return singular_lstm_apply(
+                p,
+                x,
+                return_sequences,
+                dropout=factor_cfg.dropout,
+                recurrent_dropout=factor_cfg.recurrent_dropout,
+                rng=rng,
+            )
+
     return fit(
         sparams,
         X_train,
         y_train,
         cfg=train_cfg,
-        apply_fn=singular_lstm_apply,
+        apply_fn=apply_fn,
         optimizer=optimizer,
         loss_extra=lambda p: regularization_loss(p, factor_cfg),
         verbose=verbose,
+        dropout_rng=dropout_rng,
     )
 
 
