@@ -10,3 +10,10 @@ from svd_lstm_tpu.factor.svd import (
     set_model_matrix_rank,
 )
 from svd_lstm_tpu.factor.regularizers import hoyer_penalty, orthogonal_penalty
+from svd_lstm_tpu.factor.prune_magnitude import (
+    PolynomialDecaySchedule,
+    finetune_with_pruning,
+    magnitude_mask,
+    prune_sigmas,
+    sigma_sparsity,
+)

@@ -103,6 +103,22 @@ class TestTwoStep:
             err = np.linalg.norm(A - Ar, "fro") ** 2
             np.testing.assert_allclose(err, np.sum(s[r:] ** 2), rtol=1e-9)
 
+    def test_eckart_young_bound_is_minimal(self, rng):
+        """Eckart–Young as a BOUND (SURVEY §4c): the SVD truncation is the
+        best rank-r approximation — no other rank-r matrix gets closer in
+        Frobenius norm."""
+        A = rng.normal(size=(20, 30))
+        for r in [2, 8]:
+            Ar = reduce_matrix_rank(A, r)
+            best = np.linalg.norm(A - Ar, "fro")
+            for trial in range(25):
+                t = np.random.default_rng(100 * r + trial)
+                B = t.normal(size=(20, r)) @ t.normal(size=(r, 30))
+                # scale the competitor optimally toward A (least squares in
+                # the 1-d span {cB}) so the comparison isn't a strawman
+                c = np.vdot(B, A) / max(np.vdot(B, B), 1e-12)
+                assert np.linalg.norm(A - c * B, "fro") >= best - 1e-9
+
 
 class TestRankUtilities:
     def test_get_singular_values_shape(self, dense_model):

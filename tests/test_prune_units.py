@@ -75,3 +75,62 @@ def test_importance_shapes_and_positive(model):
     scores = unit_importance(model)
     assert [s.shape for s in scores] == [(12,), (10,)]
     assert all((s > 0).all() for s in scores)
+
+
+# ---------------------------------------------------------------------------
+# Magnitude pruning of σ (C13 parity — the reference's abandoned tfmot
+# prune_low_magnitude experiment, code/svd_acceleration_v3.py:101-108)
+# ---------------------------------------------------------------------------
+
+import jax
+from svd_lstm_tpu.factor.prune_magnitude import (
+    PolynomialDecaySchedule,
+    finetune_with_pruning,
+    magnitude_mask,
+    prune_sigmas,
+    sigma_sparsity,
+)
+from svd_lstm_tpu.factor.svd import make_singular_model
+from svd_lstm_tpu.models.singular import singular_lstm_apply
+
+
+class TestMagnitudePruning:
+    def test_schedule_endpoints_and_monotonicity(self):
+        sched = PolynomialDecaySchedule(final_sparsity=0.5, end_step=5000)
+        assert sched(0) == 0.0
+        assert np.isclose(sched(5000), 0.5) and np.isclose(sched(9000), 0.5)
+        vals = [sched(s) for s in range(0, 6000, 250)]
+        assert all(b >= a - 1e-12 for a, b in zip(vals, vals[1:]))
+
+    def test_mask_prunes_smallest_fraction(self):
+        v = np.array([0.1, -3.0, 0.01, 2.0, -0.5, 0.02])
+        m = magnitude_mask(v, 0.5)
+        np.testing.assert_array_equal(m, [0.0, 1.0, 0.0, 1.0, 1.0, 0.0])
+        np.testing.assert_array_equal(magnitude_mask(v, 0.0), np.ones(6))
+
+    def test_prune_sigmas_sparsity_and_model_runs(self):
+        dense = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=4, units=(8, 8))
+        sm = make_singular_model(dense, merged_kernel=False)
+        pruned = prune_sigmas(sm, 0.5)
+        assert sigma_sparsity(sm) == 0.0
+        assert np.isclose(sigma_sparsity(pruned), 0.5, atol=0.05)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 10, 4)), jnp.float32)
+        out = singular_lstm_apply(pruned, x)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_finetune_with_pruning_reaches_target(self):
+        from svd_lstm_tpu.config import FactorConfig, TrainConfig
+
+        rng = np.random.default_rng(2)
+        X = rng.normal(size=(1, 200, 4)).astype(np.float32)
+        y = np.convolve(X[0, :, 0], np.ones(4) / 4, mode="same").astype(np.float32)
+        dense = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=4, units=(8,))
+        sm = make_singular_model(dense, merged_kernel=False)
+        tcfg = TrainConfig(num_windows=32, window_len=12, batch_size=16, epochs=3)
+        sched = PolynomialDecaySchedule(final_sparsity=0.4, end_step=6)
+        res = finetune_with_pruning(
+            sm, X, y, schedule=sched,
+            factor_cfg=FactorConfig(hoyer=0.0), train_cfg=tcfg,
+        )
+        assert np.isfinite(res.history).all()
+        assert np.isclose(sigma_sparsity(res.params), 0.4, atol=0.05)
