@@ -31,6 +31,11 @@ def main():
         help="matmul precision for the sharded forward (BENCH_NOTES.md: "
         "'high' ~1.6x at 1e-4 err, 'fast' bf16 ~4.7x at 1e-2 err on wide models)",
     )
+    ap.add_argument(
+        "--rank", type=int, default=0,
+        help="also run an SVD-reduced model (two-step, keep-rank R per "
+        "gate) through the same dp-sharded inference path",
+    )
     args = ap.parse_args()
     if args.quick:
         args.batch, args.steps = 4, 32
@@ -78,6 +83,25 @@ def main():
         f"{dt*1e3:.1f} ms wall, {B*args.steps/dt/1e6:.2f} M steps/s, "
         f"shard-vs-local err {err:.2e}"
     )
+
+    if args.rank:
+        # SVD-reduced model through the SAME dp-sharded path (VERDICT.md
+        # next-round #8): compress, then shard the independent sequences.
+        from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+
+        smodel = st.make_singular_model(params, merged_kernel=False)
+        rmodel = st.make_reduced_model(smodel, rank=args.rank)
+        run_r = make_batched_inference(mesh, reduced_lstm_apply)
+        out_r = jax.block_until_ready(run_r(rmodel, X))
+        t0 = time.perf_counter()
+        out_r = jax.block_until_ready(run_r(rmodel, X))
+        dt_r = time.perf_counter() - t0
+        err_r = float(jnp.abs(jnp.asarray(out_r, jnp.float32) - jnp.asarray(out, jnp.float32)).max())
+        print(
+            f"reduced (r={args.rank}) sharded: {dt_r*1e3:.1f} ms wall, "
+            f"{B*args.steps/dt_r/1e6:.2f} M steps/s, reduced-vs-full err {err_r:.2e} "
+            f"(exact two-step reconstruction — should be ~1e-6)"
+        )
 
 
 if __name__ == "__main__":

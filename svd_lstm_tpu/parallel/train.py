@@ -200,6 +200,90 @@ def make_sharded_train_step(
 
 
 # ---------------------------------------------------------------------------
+# dp-sharded training for ANY model pytree (dense, singular, reduced)
+# ---------------------------------------------------------------------------
+
+def make_dp_train_step(
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+    apply_fn: Callable,
+    loss_extra: Callable | None = None,
+) -> Callable:
+    """Data-parallel train step generic over the model family: params and
+    optimizer state replicated, the window batch sharded across EVERY mesh
+    axis, gradients ``pmean``-reduced. This is how the compressed models
+    (singular fine-tune, reduced) scale — their factor pytrees have no
+    natural gate-column tp layout, and at their sizes dp is the right axis
+    anyway (VERDICT.md next-round #8).
+
+    ``loss_extra(params) -> scalar`` carries the fine-tune regularizers
+    (Hoyer/orthogonality), matching ``train.loop.fit``'s hook.
+    """
+    axes = tuple(mesh.axis_names)
+
+    def local_step(params, opt_state, x, y):
+        def loss_fn(p):
+            pred = apply_fn(p, x, return_sequences=False)[..., 0]
+            loss = jnp.mean(jnp.square(pred - y))
+            if loss_extra is not None:
+                # regularizers are pure functions of the (replicated)
+                # params — identical on every shard, so no reduction needed
+                loss = loss + loss_extra(p)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.pmean(loss, axes)
+        grads = jax.lax.pmean(grads, axes)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        pspec = jax.tree.map(lambda _: P(), params)
+        ospec = jax.tree.map(lambda _: P(), opt_state)
+        return shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(pspec, ospec, P(axes, None, None), P(axes)),
+            out_specs=(pspec, ospec, P()),
+            check_vma=False,
+        )(params, opt_state, x, y)
+
+    return step
+
+
+def make_dp_finetune_step(
+    mesh: Mesh,
+    sparams,
+    factor_cfg=None,
+    learning_rate: float = 1e-3,
+):
+    """dp-sharded singular fine-tune step: σ-only (or +UV) gradient routing
+    via the optax mask, Hoyer/orthogonality in the loss — the sharded
+    counterpart of ``train.finetune.finetune``. Returns (step, opt_state).
+    """
+    from svd_lstm_tpu.config import FactorConfig
+    from svd_lstm_tpu.models.singular import singular_lstm_apply
+    from svd_lstm_tpu.train.finetune import (
+        make_finetune_optimizer,
+        regularization_loss,
+    )
+
+    if factor_cfg is None:
+        factor_cfg = FactorConfig()
+    optimizer = make_finetune_optimizer(sparams, factor_cfg, learning_rate)
+    opt_state = optimizer.init(sparams)
+    step = make_dp_train_step(
+        mesh,
+        optimizer,
+        singular_lstm_apply,
+        loss_extra=lambda p: regularization_loss(p, factor_cfg),
+    )
+    return step, opt_state
+
+
+# ---------------------------------------------------------------------------
 # batched multi-sequence inference (BASELINE stretch config)
 # ---------------------------------------------------------------------------
 

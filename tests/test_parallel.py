@@ -98,3 +98,95 @@ class TestBatchedInference:
         out = run(params, x)
         ref = stacked_lstm_apply(params, x, return_sequences=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestDpCompressedModels:
+    """dp-sharding of the COMPRESSED model families (VERDICT.md #8)."""
+
+    @pytest.fixture(scope="class")
+    def smodel(self):
+        from svd_lstm_tpu.factor.svd import make_singular_model
+
+        dense = init_stacked_lstm(jax.random.PRNGKey(2), 8, (8, 8))
+        return make_singular_model(dense, merged_kernel=False)
+
+    def test_dp_singular_finetune_matches_unsharded(self, data, smodel):
+        """Sharded singular fine-tune step ≡ unsharded step: identical loss
+        and identical updated σ, over 3 consecutive steps."""
+        from svd_lstm_tpu.config import FactorConfig
+        from svd_lstm_tpu.models.singular import singular_lstm_apply
+        from svd_lstm_tpu.parallel.train import make_dp_finetune_step
+        from svd_lstm_tpu.train.finetune import (
+            make_finetune_optimizer,
+            regularization_loss,
+        )
+
+        x, y = data
+        fcfg = FactorConfig(hoyer=0.01)
+        mesh = make_mesh(dp=8, tp=1)
+        step, opt_state = make_dp_finetune_step(mesh, smodel, fcfg, 1e-3)
+
+        # unsharded reference: same optimizer, same loss
+        opt = make_finetune_optimizer(smodel, fcfg, 1e-3)
+        ref_state = opt.init(smodel)
+
+        def ref_step(p, s, x, y):
+            def loss_fn(p):
+                pred = singular_lstm_apply(p, x, return_sequences=False)[..., 0]
+                return jnp.mean(jnp.square(pred - y)) + regularization_loss(p, fcfg)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        ps, pr = smodel, smodel
+        ss, sr = opt_state, ref_state
+        for i in range(3):
+            ps, ss, loss_s = step(ps, ss, x, y)
+            pr, sr, loss_r = ref_step(pr, sr, x, y)
+            assert np.isclose(float(loss_s), float(loss_r), rtol=1e-5), f"step {i}"
+        for a, b in zip(jax.tree.leaves(ps), jax.tree.leaves(pr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        # σ actually moved (the fine-tune trains) while factors stayed frozen
+        assert not np.allclose(
+            np.asarray(ps.layers[0].ws), np.asarray(smodel.layers[0].ws)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ps.layers[0].wl), np.asarray(smodel.layers[0].wl)
+        )
+
+    def test_dp_train_step_dense_parity(self, data):
+        """The generic dp step on the DENSE model matches the dedicated
+        dp×tp step at tp=1 (same math, two code paths)."""
+        from svd_lstm_tpu.parallel.train import make_dp_train_step
+
+        x, y = data
+        params = init_stacked_lstm(jax.random.PRNGKey(3), 8, (8,))
+        opt = optax.adam(1e-3)
+        mesh = make_mesh(dp=8, tp=1)
+
+        step_g = make_dp_train_step(mesh, opt, stacked_lstm_apply)
+        p1, _, loss_g = step_g(params, opt.init(params), x, y)
+
+        sharded = shard_params_for_mesh(params, mesh)
+        step_d = make_sharded_train_step(mesh, opt)
+        p2, _, loss_d = step_d(sharded, opt.init(sharded), x, y)
+        assert np.isclose(float(loss_g), float(loss_d), rtol=1e-5)
+
+    def test_dp_batched_inference_reduced(self, data):
+        """Reduced (two-step) batched inference sharded over the mesh equals
+        the local reduced forward AND the dense forward (exactness)."""
+        from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+        from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+
+        x, _ = data
+        dense = init_stacked_lstm(jax.random.PRNGKey(4), 8, (8, 8))
+        rmodel = make_reduced_model(make_singular_model(dense), rank=8)
+
+        mesh = make_mesh(dp=8, tp=1)
+        run = make_batched_inference(mesh, reduced_lstm_apply)
+        out = np.asarray(run(rmodel, x))
+        local = np.asarray(reduced_lstm_apply(rmodel, x, return_sequences=True))
+        np.testing.assert_allclose(out, local, atol=1e-6)
+        full = np.asarray(stacked_lstm_apply(dense, x, return_sequences=True))
+        np.testing.assert_allclose(out, full, atol=1e-4)
