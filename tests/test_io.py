@@ -80,3 +80,51 @@ class TestGoldenFixtures:
         assert t.shape == y.shape == (106450,)
         np.testing.assert_allclose(np.diff(t).mean(), 4e-4, rtol=1e-3)
         assert abs(y.mean()) < 1e-3 and abs(y.std() - 1.0) < 1e-3
+
+
+class TestReferencePredictionParity:
+    """Partial golden-parity against the reference's shipped
+    ``model_prediction.csv`` (VERDICT.md missing #3).
+
+    Full replay is blocked upstream: the model input series
+    ``preprocessed_DROPBEAR_X.csv`` was stripped as a large blob
+    (reference .MISSING_LARGE_BLOBS:1), so the 3×15 model (whose weights DO
+    ship, code/model_weights/) cannot be re-driven over the real test run.
+    What CAN be checked without X, is checked here:
+
+    * alignment — the prediction is exactly the t ≥ 30.7 s test split of the
+      shipped frame-level series (29 700 frames at 400 µs);
+    * the reference model's golden test metrics against the shipped ground
+      truth, computed with OUR metric functions: RMSE 0.2029 (scaled units),
+      SNR 12.43 dB, corr 0.963 — pinned so any metric-function or
+      fixture-loading regression trips.
+    """
+
+    @pytest.fixture(scope="class")
+    def golden(self, reference_dir):
+        load = lambda n: np.loadtxt(
+            os.path.join(reference_dir, "code", n), delimiter=","
+        )
+        return load("model_prediction.csv"), load("preprocessed_DROPBEAR_y.csv"), load(
+            "preprocessed_DROPBEAR_t.csv"
+        )
+
+    def test_prediction_aligns_with_test_split(self, golden):
+        pred, y, t = golden
+        # same split rule as the pipeline: train/test boundary at t = 30.7 s
+        # (reference code/train_full_model_v4.py:72-78)
+        assert pred.shape == (29700,)
+        assert int((t >= 30.7).sum()) == len(pred)
+        assert np.isclose(np.diff(t).mean(), 400e-6, rtol=1e-3)
+
+    def test_reference_model_golden_metrics(self, golden):
+        from svd_lstm_tpu.train.metrics import rmse, signaltonoise
+
+        pred, y, t = golden
+        y_test = y[-len(pred):]
+        assert np.isclose(rmse(y_test, pred), 0.20285, atol=2e-4)
+        assert np.isclose(signaltonoise(y_test, pred), 12.434, atol=2e-2)
+        assert np.corrcoef(pred, y_test)[0, 1] > 0.96
+        # prediction lives in the same standardized space as the labels
+        assert abs(pred.mean() - y_test.mean()) < 0.15
+        assert abs(pred.std() - y_test.std()) < 0.15
