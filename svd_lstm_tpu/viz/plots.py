@@ -32,13 +32,16 @@ def _savefig(fig, savepath: str | None, dpi: int = 200):
     return fig
 
 
-def plot_rmse_curve(x, rmse_ratio, xlabel="n - r", savepath=None, unit_line=True):
+def plot_rmse_curve(x, rmse_ratio, xlabel="n - r", savepath=None, unit_line=True,
+                    ylim=None):
     fig = plt.figure(figsize=(6, 4))
     plt.title("RMSE change with reduced rank")
     plt.plot(x, rmse_ratio)
     if unit_line:
         plt.plot([min(x), max(x)], [1, 1], "k--", label="unit ratio")
         plt.legend(loc=2)
+    if ylim is not None:
+        plt.ylim(ylim)
     plt.xlabel(xlabel)
     plt.ylabel("RMSE(reduced)/RMSE(full)")
     plt.tight_layout()
