@@ -1,11 +1,30 @@
 """Roofline accounting for the recurrence kernels (SURVEY §5: 'roofline
 check for the Pallas kernel').
 
-The fused batch-1 kernel is VMEM-bandwidth-bound on per-step weight
-streaming (measured: compacting weight rows bought 1.69×, FLOPs are ~0.1%
-of MXU peak at these shapes). This module computes the per-step streamed
-bytes and MACs for a model in the kernel's actual padded layout and
-reports the bandwidth-implied latency floor next to a measured time.
+Floor model for the fused batch-1 kernel (round-2 measurement,
+scripts/probe_chain_decomposition.py):
+
+    t_step = CHAIN_NS_PER_STAGE * stages + bytes_streamed / V5E_VMEM_BPS
+
+fitted on the P-layout fused kernel at 4×{30,40,64,96}, T=6656:
+381 ns (4-layer stack → ~95 ns per dependent layer stage) + 3.72 TB/s;
+residuals ±3%. At the reference scale (4×40) the chain term is 69% of
+measured time, so byte-reduction schemes (rank truncation, weight
+compaction) cannot buy more than ~31% there — and each EXTRA dependent
+dot on the chain costs more than any byte saving (measured: compact gate
+packing −18%, single-dot merge −9%, genuinely-factored two-step
+1.6–1.75× vs dense; scripts/probe_compact_gates.py, probe_single_dot.py,
+probe_reduced_floor.py).
+
+Round 1 modeled a single-component 1700 GB/s streaming roofline and
+reported the kernel at 64% of it; the probes above falsified that model
+(halving streamed bytes made the kernel slower). Against the fitted
+two-component floor the kernel measures 99–101% — it is AT its hardware
+floor.
+
+This module computes the per-step streamed bytes and MACs for a model in
+the kernel's actual padded layout ("p" or "compact") and reports the
+model-implied floor next to a measured time.
 """
 
 from __future__ import annotations
@@ -13,8 +32,9 @@ from __future__ import annotations
 import dataclasses
 from typing import Sequence
 
-V5E_VMEM_GBPS = 1700.0   # effective VMEM streaming bandwidth observed
-V5E_MXU_MACS = 1.0e14 / 2  # ~100 TFLOP/s f32 → 50 T MAC/s
+V5E_VMEM_GBPS = 3720.0       # fitted VMEM streaming bandwidth (probe_chain_decomposition)
+CHAIN_NS_PER_STAGE = 95.0    # fitted per-layer dependent-stage latency, f32 matvec+gates
+V5E_MXU_MACS = 1.0e14 / 2    # ~100 TFLOP/s f32 → 50 T MAC/s
 
 LANE = 128
 SUB = 8
@@ -28,6 +48,7 @@ def _tiles(rows: int, cols: int) -> int:
 class StepCost:
     bytes_streamed: int
     macs: int
+    stages: int = 0    # dependent matvec->gate stages on the per-step chain
 
     def bandwidth_floor_us(self) -> float:
         return self.bytes_streamed / (V5E_VMEM_GBPS * 1e3)
@@ -35,54 +56,94 @@ class StepCost:
     def compute_floor_us(self) -> float:
         return self.macs / (V5E_MXU_MACS * 1e-6)
 
+    def chain_floor_us(self) -> float:
+        return self.stages * CHAIN_NS_PER_STAGE * 1e-3
 
-def dense_step_cost(input_dim: int, units: Sequence[int]) -> StepCost:
+    def floor_us(self) -> float:
+        """Two-component floor: chain latency + VMEM streaming."""
+        return self.chain_floor_us() + self.bandwidth_floor_us()
+
+
+def _gate_cols(n: int, layout: str) -> int:
+    """Lane width of one layer's packed gate block.
+
+    * ``"p"``: each gate in its own 128-lane block -> 4*ceil(n/128)*128.
+    * ``"compact"``: gates packed 4/2/1 per block (ops.pallas_lstm
+      C-layout) -> (4//k)*128 with k = gate_group_size(n).
+    """
+    if layout == "compact":
+        if 4 * n <= LANE:
+            return LANE
+        if 2 * n <= LANE:
+            return 2 * LANE
+    return 4 * (-(-n // LANE) * LANE)
+
+
+def dense_step_cost(
+    input_dim: int, units: Sequence[int], layout: str = "p"
+) -> StepCost:
     """Per-step streamed bytes / MACs of the fused dense kernel in its
-    row-compact, gate-aligned layout."""
+    row-compact, gate-aligned layout (``layout`` = "p" or "compact")."""
     tiles = 0
     macs = 0
     d = input_dim
     for n in units:
-        npg = -(-n // LANE) * LANE
-        tiles += _tiles(d, 4 * npg)  # W
-        tiles += _tiles(n, 4 * npg)  # U
+        zw = _gate_cols(n, layout)
+        tiles += _tiles(d, zw)  # W
+        tiles += _tiles(n, zw)  # U
         macs += d * 4 * n + n * 4 * n
         d = n
-    return StepCost(bytes_streamed=tiles * SUB * LANE * 4, macs=macs)
+    return StepCost(
+        bytes_streamed=tiles * SUB * LANE * 4, macs=macs, stages=len(units)
+    )
 
 
 def reduced_step_cost(
-    input_dim: int, units: Sequence[int], ranks: Sequence[int], merged: bool = True
+    input_dim: int,
+    units: Sequence[int],
+    ranks: Sequence[int],
+    merged: bool = True,
+    layout: str = "p",
 ) -> StepCost:
-    """Per-step cost of the folded two-step kernel ((v@B)@[I|C] per side)."""
+    """Per-step cost of the folded two-step kernel ((v@B)@[I|C] per side).
+    ``layout`` applies to the [I|C] gate columns (the B factor's rank
+    columns always pad to one 128-lane block)."""
     tiles = 0
     macs = 0
     d = input_dim
     for n, r in zip(units, ranks):
         npg = -(-n // LANE) * LANE
         rp = -(-r // LANE) * LANE
+        zw = _gate_cols(n, layout)
         if merged:
             for rows in (d, n):  # input side then recurrent side
                 tiles += _tiles(rows, rp)        # B
-                tiles += _tiles(r, 4 * npg)      # [I|C]
+                tiles += _tiles(r, zw)           # [I|C]
                 macs += rows * r + r * 4 * n
         else:
             for rows in (d, n):
                 tiles += 4 * (_tiles(rows, rp) + _tiles(r, npg))
                 macs += 4 * (rows * r + r * n)
         d = n
-    return StepCost(bytes_streamed=tiles * SUB * LANE * 4, macs=macs)
+    # the folded two-step recurrence puts TWO dependent dots per layer on
+    # the chain (h@B then (hB)@[I|C])
+    return StepCost(
+        bytes_streamed=tiles * SUB * LANE * 4, macs=macs, stages=2 * len(units)
+    )
 
 
 def report(cost: StepCost, measured_us_per_step: float | None = None) -> str:
     lines = [
         f"streamed/step: {cost.bytes_streamed/1024:.1f} KiB  "
-        f"-> bandwidth floor {cost.bandwidth_floor_us()*1e3:.1f} ns/step",
+        f"-> bandwidth term {cost.bandwidth_floor_us()*1e3:.1f} ns/step",
+        f"chain: {cost.stages} dependent stages "
+        f"-> {cost.chain_floor_us()*1e3:.0f} ns/step",
+        f"floor (chain + streaming roofline): {cost.floor_us()*1e3:.0f} ns/step",
         f"MACs/step: {cost.macs}  -> compute floor {cost.compute_floor_us()*1e3:.3f} ns/step",
     ]
     if measured_us_per_step is not None:
         lines.append(
             f"measured: {measured_us_per_step*1e3:.1f} ns/step "
-            f"({cost.bandwidth_floor_us()/measured_us_per_step*100:.0f}% of bandwidth roofline)"
+            f"({measured_us_per_step/cost.floor_us()*100:.0f}% of floor)"
         )
     return "\n".join(lines)

@@ -43,7 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 from svd_lstm_tpu.models.lstm import StackedLSTMParams
 from svd_lstm_tpu.models.reduced import ReducedModelParams
 
-from svd_lstm_tpu.utils.linalg import fold_IC, pad_cols, pad_gate_cols
+from svd_lstm_tpu.utils.linalg import (
+    fold_IC,
+    gate_group_size,
+    pack_gate_cols_compact,
+    pad_cols,
+    pad_gate_cols,
+)
 
 LANE = 128
 DEFAULT_CT = 512
@@ -83,6 +89,40 @@ def _gates_p(z: jax.Array, c: jax.Array, npg: int) -> Tuple[jax.Array, jax.Array
     f = jax.nn.sigmoid(z[:, npg : 2 * npg])
     g = jnp.tanh(z[:, 2 * npg : 3 * npg])
     o = jax.nn.sigmoid(z[:, 3 * npg :])
+    c_new = f * c + i * g
+    return o * jnp.tanh(c_new), c_new
+
+
+def _roll(v: jax.Array, shift: int, interpret: bool) -> jax.Array:
+    """Static lane roll. Compiled TPU path uses the Mosaic lane rotate;
+    interpret mode falls back to jnp.roll (identical semantics)."""
+    if interpret:
+        return jnp.roll(v, shift, axis=1)
+    return pltpu.roll(v, shift=shift % LANE, axis=1)
+
+
+def _gates_compact(
+    z: jax.Array, c: jax.Array, n: int, k: int, interpret: bool
+) -> Tuple[jax.Array, jax.Array]:
+    """Gate math in the compact ("C") layout — k gates per 128-lane block
+    (pack_gate_cols_compact order). z: (1, (4//k)*128); c: (1, 128) with
+    live lanes [0, n). Nonlinearities run on whole aligned blocks and g/f/o
+    are aligned to lane 0 by static intra-block rolls, so no unaligned lane
+    slices ever reach Mosaic (the round-1 ~2.5× extraction penalty).
+    Lanes >= n carry bounded garbage (sigmoid/tanh of zero-padded weights);
+    callers slice h to its live lanes before every use."""
+    if k == 4:
+        zb = z[:, :LANE]
+        s = jax.nn.sigmoid(zb)
+        i = s
+        g = _roll(jnp.tanh(zb), -n, interpret)
+        f = _roll(s, -2 * n, interpret)
+        o = _roll(s, -3 * n, interpret)
+    else:  # k == 2: block 0 = [i|g], block 1 = [f|o]
+        i = jax.nn.sigmoid(z[:, :LANE])
+        g = _roll(jnp.tanh(z[:, :LANE]), -n, interpret)
+        f = jax.nn.sigmoid(z[:, LANE : 2 * LANE])
+        o = _roll(f, -n, interpret)
     c_new = f * c + i * g
     return o * jnp.tanh(c_new), c_new
 
@@ -283,27 +323,55 @@ def fused_dense_stack_pallas(
     ct: int = DEFAULT_CT,
     interpret: bool = False,
     unroll: int = DEFAULT_UNROLL,
+    layout: str = "auto",
 ) -> jax.Array:
     """Whole stacked model + head in one kernel. x: (T, d) -> y: (T, out).
 
     Every layer's W/U/b stays VMEM-resident across all T steps; the head is
     applied to the last layer's hidden sequence outside the kernel (one MXU
-    matmul)."""
+    matmul).
+
+    ``layout`` picks the per-layer gate packing:
+
+    * ``"p"`` / ``"auto"`` — P-layout: each gate in its own 128-lane block
+      (rows stay compact). Gate extraction is a tile-aligned slice.
+    * ``"compact"`` — C-layout (n ≤ 64): gates packed 2 or 4 per lane
+      block (pack_gate_cols_compact), halving / quartering the per-step
+      streamed weight bytes; gate extraction via whole-block
+      nonlinearities + static intra-block rolls (_gates_compact). Layers
+      with n > 64 fall back to P-layout per layer.
+
+    MEASURED (v5e, 4×40/4×30, T=6656, scripts/probe_compact_gates.py):
+    compact is ~0.8× the P-layout speed DESPITE 2-4× fewer streamed bytes
+    — at these scales the kernel is latency-chain-bound, not
+    streaming-bound (P-layout 4×30 ≈ 4×40 time), and the extraction rolls
+    sit on the critical chain. ``"auto"`` therefore resolves to P-layout;
+    compact exists as the measured refutation of the byte-streaming
+    hypothesis and for potential future hardware where streaming wins.
+    """
     T, d = x.shape
     units = [l.units for l in params.layers]
     L = len(units)
+    ks = [gate_group_size(n) if layout == "compact" else 1 for n in units]
     npgs = [_ceil_to(n, LANE) for n in units]
+    # per-layer (z width, state width)
+    zws = [(4 // k) * LANE if k > 1 else 4 * npg for k, npg in zip(ks, npgs)]
+    sws = [LANE if k > 1 else npg for k, npg in zip(ks, npgs)]
     dp = _ceil_to(d, LANE)
 
     x_p = pad_cols(x, dp)
-    # Row-compact weights (W: (d_in, 4npg), U: (n, 4npg)) — the kernel is
+    # Row-compact weights (W: (d_in, zw), U: (n, zw)) — the kernel is
     # VMEM-bandwidth-bound streaming weights each step; padding rows to 128
     # was a measured 1.7× loss. Live lanes are sliced off h before each dot.
     weights = []
     for i, l in enumerate(params.layers):
-        weights.append(pad_gate_cols(l.W, units[i], npgs[i]))
-        weights.append(pad_gate_cols(l.U, units[i], npgs[i]))
-        weights.append(pad_gate_cols(l.b.reshape(1, -1), units[i], npgs[i]))
+        if ks[i] > 1:
+            pack = lambda M: pack_gate_cols_compact(M, units[i], ks[i])
+        else:
+            pack = lambda M: pad_gate_cols(M, units[i], npgs[i])
+        weights.append(pack(l.W))
+        weights.append(pack(l.U))
+        weights.append(pack(l.b.reshape(1, -1)))
 
     CT = min(ct, _ceil_to(T, 8))
     Tp = _ceil_to(T, CT)
@@ -328,7 +396,10 @@ def fused_dense_stack_pallas(
                     + _dot(scr[2 * i][:, : units[i]], w_refs[3 * i + 1][:])
                     + w_refs[3 * i + 2][:]
                 )
-                h, c = _gates_p(z, scr[2 * i + 1][:], npgs[i])
+                if ks[i] > 1:
+                    h, c = _gates_compact(z, scr[2 * i + 1][:], units[i], ks[i], interpret)
+                else:
+                    h, c = _gates_p(z, scr[2 * i + 1][:], npgs[i])
                 scr[2 * i][:] = h
                 scr[2 * i + 1][:] = c
                 inp = h[:, : units[i]]
@@ -337,16 +408,16 @@ def fused_dense_stack_pallas(
         _time_loop(step, CT, unroll)
 
     scratch = []
-    for npg in npgs:
-        scratch += [pltpu.VMEM((1, npg), jnp.float32)] * 2
+    for sw in sws:
+        scratch += [pltpu.VMEM((1, sw), jnp.float32)] * 2
 
     h_seq = pl.pallas_call(
         kernel,
         grid=(Tp // CT,),
-        out_shape=jax.ShapeDtypeStruct((Tp, npgs[-1]), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Tp, sws[-1]), jnp.float32),
         in_specs=[pl.BlockSpec((CT, dp), lambda i: (i, 0), memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights),
-        out_specs=pl.BlockSpec((CT, npgs[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((CT, sws[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         interpret=interpret,
     )(x_p, *weights)

@@ -107,6 +107,33 @@ class TestFusedStacks:
         np.testing.assert_allclose(ours, ref, atol=2e-5)
 
 
+class TestCompactGateLayout:
+    """C-layout (gates packed 2 or 4 per 128-lane block, roll-based
+    extraction) must match the P-layout kernel exactly for every packing
+    regime: quad (4n<=128), pair (2n<=128), P fallback (n>64), and mixed
+    stacks."""
+
+    @pytest.mark.parametrize(
+        "units",
+        [(40, 40, 40, 40), (30, 30), (15, 15, 15), (64, 64), (72, 72), (40, 30, 15)],
+    )
+    def test_compact_matches_p_layout(self, units):
+        params = init_stacked_lstm(jax.random.PRNGKey(7), input_dim=16, units=units)
+        x = jnp.asarray(np.random.default_rng(8).normal(size=(60, 16)), jnp.float32)
+        ref = np.asarray(fused_dense_stack_pallas(params, x, interpret=True, layout="p"))
+        got = np.asarray(
+            fused_dense_stack_pallas(params, x, interpret=True, layout="compact")
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_compact_matches_scan(self, dense_model, x_run):
+        ref = np.asarray(stacked_lstm_apply(dense_model, x_run[None]))[0]
+        ours = np.asarray(
+            fused_dense_stack_pallas(dense_model, x_run, interpret=True, layout="compact")
+        )
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
 class TestTimeLoopUnroll:
     @pytest.mark.parametrize("T", [9, 17, 33, 48])
     def test_unroll_divisor_fallback(self, rng, T):
