@@ -68,6 +68,7 @@ def synthetic_dropbear_raw(
     acc_rate: float = 51_200.0 / 16.0,
     pin_rate: float = 250.0,
     seed: int = 1234,
+    noise: float = 0.15,
 ):
     """Deterministic DROPBEAR-shaped raw run.
 
@@ -92,7 +93,12 @@ def synthetic_dropbear_raw(
     amp = 1.0 + 4.0 * (pin_on_acc - 0.05) / 0.12
     acc = amp * np.sin(phase)
     acc += 0.3 * amp * np.sin(2.0 * phase + 0.7)
-    acc += 0.15 * rng.standard_normal(acc_t.size)
+    # ``noise`` is the broadband sensor-noise std. The default (0.15) gives
+    # a very clean task (trained 4×40 reaches SNR ≈ 39 dB); raise it to
+    # study the realistic percent-level-error regime the published model
+    # operated in (its prediction plot shows visible error —
+    # plots/full_model_prediction.png).
+    acc += noise * rng.standard_normal(acc_t.size)
 
     # inject NaNs into pin to exercise forward-fill
     nan_idx = rng.choice(pin_t.size - 10, size=25, replace=False) + 5
