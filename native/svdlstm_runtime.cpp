@@ -46,32 +46,98 @@ bool load_csv(const std::string& path, Mat* out) {
 
 inline float sigmoidf(float x) { return 1.0f / (1.0f + std::exp(-x)); }
 
-// y += M^T x  with M stored (in_dim x out_dim): y[j] += sum_i x[i]*M[i][j]
-void accum_xTM(const std::vector<float>& x, const Mat& M, float* y) {
-  const size_t rows = M.size(), cols = M[0].size();
-  for (size_t i = 0; i < rows; ++i) {
+// Flat row-major matrix: contiguous storage so the inner GEMV loop
+// auto-vectorizes and prefetches (vector-of-vectors measured ~1.6x slower
+// from pointer chasing; the step loop is allocation-free — the reference's
+// own real-time cells preallocated their buffers, old_versions/
+// svd_classes.py:56-68).
+struct FlatMat {
+  int rows = 0, cols = 0;
+  std::vector<float> d;  // rows*cols
+  void from(const Mat& m) {
+    rows = static_cast<int>(m.size());
+    cols = rows ? static_cast<int>(m[0].size()) : 0;
+    d.resize(static_cast<size_t>(rows) * cols);
+    for (int i = 0; i < rows; ++i)
+      std::memcpy(&d[static_cast<size_t>(i) * cols], m[i].data(),
+                  sizeof(float) * cols);
+  }
+  bool empty() const { return rows == 0 || cols == 0; }
+};
+
+// y += M^T x  with M stored flat (in_dim x out_dim): y[j] += x[i]*M[i][j]
+void accum_xTM(const float* x, const FlatMat& M, float* __restrict y) {
+  for (int i = 0; i < M.rows; ++i) {
     const float xi = x[i];
-    if (xi == 0.0f) continue;
-    const std::vector<float>& mrow = M[i];
-    for (size_t j = 0; j < cols; ++j) y[j] += xi * mrow[j];
+    const float* __restrict mrow = &M.d[static_cast<size_t>(i) * M.cols];
+    for (int j = 0; j < M.cols; ++j) y[j] += xi * mrow[j];
   }
 }
 
+// y[j] += dot(x, Mt[j]) with Mt stored flat (out_dim x in_dim) — the
+// transposed/dot form. For short out_dim (the tiny per-gate C factors)
+// this keeps every inner loop running over the long contraction dim,
+// where the accumulate form would scatter into a <8-lane-wide output.
+void accum_dot(const float* x, const FlatMat& Mt, float* __restrict y) {
+  for (int j = 0; j < Mt.rows; ++j) {
+    const float* __restrict mrow = &Mt.d[static_cast<size_t>(j) * Mt.cols];
+    float acc = 0.0f;
+    for (int i = 0; i < Mt.cols; ++i) acc += x[i] * mrow[i];
+    y[j] += acc;
+  }
+}
+
+FlatMat transpose(const FlatMat& M) {
+  FlatMat T;
+  T.rows = M.cols;
+  T.cols = M.rows;
+  T.d.resize(M.d.size());
+  for (int i = 0; i < M.rows; ++i)
+    for (int j = 0; j < M.cols; ++j)
+      T.d[static_cast<size_t>(j) * T.cols + i] =
+          M.d[static_cast<size_t>(i) * M.cols + j];
+  return T;
+}
+
 struct GatePair {        // two-step factors for one gate: z = [vB, (vB)C]
-  Mat B;                 // (in_dim, r)
-  Mat C;                 // (r, n - r)  (may have 0 cols when r == n)
+  FlatMat B;             // (in_dim, r)
+  FlatMat C;             // (r, n - r)  (may have 0 cols when r == n)
 };
 
 struct Layer {
   bool reduced = false;
-  // dense: W/U per gate (in_dim x n), (n x n)
-  Mat W[4], U[4];
-  // reduced: per-gate two-step pairs for input and recurrent sides
-  GatePair wBC[4], uBC[4];
-  std::vector<float> b[4];  // per-gate bias (n)
+  // dense: all four gates concatenated column-wise — ONE GEMV per side
+  // with a 4n-wide inner loop instead of four n-wide ones (vectorizes and
+  // amortizes the row loop; same packed-gate idea as the TPU kernels).
+  FlatMat Wcat, Ucat;            // (in_dim x 4n), (n x 4n)
+  // reduced: packed-B (all gates' B side by side) + per-gate C
+  FlatMat wBcat, uBcat;          // (in_dim x sum r_g), (n x sum r_g)
+  FlatMat wC[4], uC[4];          // (r_g x n-r_g), or transposed (dot form)
+  bool wCdot[4] = {}, uCdot[4] = {};  // true -> C stored transposed
+  int wOff[4] = {0, 0, 0, 0}, uOff[4] = {0, 0, 0, 0};  // col offset of gate g in *Bcat
+  std::vector<float> bcat;       // (4n)
   int units = 0;
-  std::vector<float> h, c;  // state
+  std::vector<float> h, c;       // state
+  std::vector<float> zg, zs;     // scratch: 4n gate pre-acts, packed-B temp
 };
+
+// column-concatenate gate matrices (equal rows) into one FlatMat
+FlatMat cat_cols(const FlatMat* ms, int count, int* offs) {
+  FlatMat out;
+  out.rows = ms[0].rows;
+  out.cols = 0;
+  for (int g = 0; g < count; ++g) {
+    offs[g] = out.cols;
+    out.cols += ms[g].cols;
+  }
+  out.d.assign(static_cast<size_t>(out.rows) * out.cols, 0.0f);
+  for (int g = 0; g < count; ++g)
+    for (int i = 0; i < out.rows; ++i)
+      std::memcpy(&out.d[static_cast<size_t>(i) * out.cols + offs[g]],
+                  &ms[g].d[static_cast<size_t>(i) * ms[g].cols],
+                  sizeof(float) * ms[g].cols);
+  return out;
+}
 
 struct Model {
   std::vector<Layer> layers;
@@ -82,6 +148,8 @@ struct Model {
 const char* kGates = "ifco";
 
 bool load_dense_layer(const std::string& dir, Layer* L, bool transposed) {
+  FlatMat Wg[4], Ug[4];
+  std::vector<float> bs;
   for (int g = 0; g < 4; ++g) {
     Mat W, U, b;
     std::string gs(1, kGates[g]);
@@ -98,65 +166,92 @@ bool load_dense_layer(const std::string& dir, Layer* L, bool transposed) {
       W.swap(Wt);
       U.swap(Ut);
     }
-    L->W[g] = std::move(W);
-    L->U[g] = std::move(U);
-    L->b[g].clear();
+    Wg[g].from(W);
+    Ug[g].from(U);
     for (auto& row : b)
-      for (float v : row) L->b[g].push_back(v);
+      for (float v : row) bs.push_back(v);
   }
-  L->units = static_cast<int>(L->U[0].size());  // U is (n x n)
+  int offs[4];
+  L->Wcat = cat_cols(Wg, 4, offs);
+  L->Ucat = cat_cols(Ug, 4, offs);
+  L->bcat = std::move(bs);
+  L->units = L->Ucat.rows;  // U is (n x n)
   L->reduced = false;
   return true;
 }
 
 bool load_reduced_layer(const std::string& dir, Layer* L) {
+  FlatMat wB[4], uB[4];
+  std::vector<float> bs;
   for (int g = 0; g < 4; ++g) {
     std::string gs(1, kGates[g]);
-    if (!load_csv(dir + "/wB" + gs + ".csv", &L->wBC[g].B)) return false;
-    if (!load_csv(dir + "/uB" + gs + ".csv", &L->uBC[g].B)) return false;
+    Mat B;
+    if (!load_csv(dir + "/wB" + gs + ".csv", &B)) return false;
+    wB[g].from(B);
+    B.clear();
+    if (!load_csv(dir + "/uB" + gs + ".csv", &B)) return false;
+    uB[g].from(B);
     // C may be absent (full rank) — treat as 0-column
     Mat C;
-    if (load_csv(dir + "/wC" + gs + ".csv", &C)) L->wBC[g].C = C; else L->wBC[g].C.clear();
+    // Pick the GEMV form with the longer inner loop: accumulate iterates
+    // the output dim (n-r), dot the contraction dim (r); store C
+    // transposed when dot wins (r > n-r).
+    FlatMat Ctmp;
+    if (load_csv(dir + "/wC" + gs + ".csv", &C)) {
+      Ctmp.from(C);
+      L->wCdot[g] = Ctmp.rows > Ctmp.cols;
+      L->wC[g] = L->wCdot[g] ? transpose(Ctmp) : Ctmp;
+    } else L->wC[g] = FlatMat();
     C.clear();
-    if (load_csv(dir + "/uC" + gs + ".csv", &C)) L->uBC[g].C = C; else L->uBC[g].C.clear();
+    if (load_csv(dir + "/uC" + gs + ".csv", &C)) {
+      Ctmp.from(C);
+      L->uCdot[g] = Ctmp.rows > Ctmp.cols;
+      L->uC[g] = L->uCdot[g] ? transpose(Ctmp) : Ctmp;
+    } else L->uC[g] = FlatMat();
     Mat b;
     if (!load_csv(dir + "/b" + gs + ".csv", &b)) return false;
-    L->b[g].clear();
     for (auto& row : b)
-      for (float v : row) L->b[g].push_back(v);
+      for (float v : row) bs.push_back(v);
   }
-  L->units = static_cast<int>(L->uBC[0].B.size());  // uB is (n x r)
+  L->wBcat = cat_cols(wB, 4, L->wOff);
+  L->uBcat = cat_cols(uB, 4, L->uOff);
+  L->bcat = std::move(bs);
+  L->units = L->uBcat.rows;  // uB is (n x r)
   L->reduced = true;
   return true;
 }
 
-// z_g = two_step(v, B, C): first r entries v·B, rest (v·B)·C
-void two_step_into(const std::vector<float>& v, const GatePair& p, int n,
-                   float* z) {
-  const int r = static_cast<int>(p.B[0].size());
-  for (int j = 0; j < n; ++j) z[j] = 0.0f;
-  accum_xTM(v, p.B, z);  // z[0..r)
-  if (!p.C.empty()) {
-    std::vector<float> top(z, z + r);
-    accum_xTM(top, p.C, z + r);
+// packed two-step side: tmp = v·Bcat (ONE wide GEMV for all gates), then
+// per gate g: z_g[0..r) += tmp_g, z_g[r..n) += tmp_g·C_g. The step loop
+// allocates nothing.
+void two_step_side(Layer& L, const float* v, const FlatMat& Bcat,
+                   const int* off, const FlatMat* C, const bool* Cdot,
+                   float* __restrict zg) {
+  const int n = L.units;
+  float* tmp = L.zs.data();
+  for (int j = 0; j < Bcat.cols; ++j) tmp[j] = 0.0f;
+  accum_xTM(v, Bcat, tmp);
+  for (int g = 0; g < 4; ++g) {
+    const int r = (g + 1 < 4 ? off[g + 1] : Bcat.cols) - off[g];
+    float* z = zg + g * n;
+    const float* tg = tmp + off[g];
+    for (int j = 0; j < r; ++j) z[j] += tg[j];
+    if (C[g].empty()) continue;
+    if (Cdot[g]) accum_dot(tg, C[g], z + r);
+    else accum_xTM(tg, C[g], z + r);
   }
 }
 
-void layer_step(Layer& L, const std::vector<float>& x) {
+void layer_step(Layer& L, const float* x) {
   const int n = L.units;
-  float zg[4 * 4096];  // gate pre-activations, generous cap
-  for (int g = 0; g < 4; ++g) {
-    float* z = zg + g * n;
-    if (L.reduced) {
-      std::vector<float> zx(n), zu(n);
-      two_step_into(x, L.wBC[g], n, zx.data());
-      two_step_into(L.h, L.uBC[g], n, zu.data());
-      for (int j = 0; j < n; ++j) z[j] = zx[j] + zu[j] + L.b[g][j];
-    } else {
-      for (int j = 0; j < n; ++j) z[j] = L.b[g][j];
-      accum_xTM(x, L.W[g], z);
-      accum_xTM(L.h, L.U[g], z);
-    }
+  float* zg = L.zg.data();
+  std::memcpy(zg, L.bcat.data(), sizeof(float) * 4 * n);
+  if (L.reduced) {
+    two_step_side(L, x, L.wBcat, L.wOff, L.wC, L.wCdot, zg);
+    two_step_side(L, L.h.data(), L.uBcat, L.uOff, L.uC, L.uCdot, zg);
+  } else {
+    accum_xTM(x, L.Wcat, zg);
+    accum_xTM(L.h.data(), L.Ucat, zg);
   }
   for (int j = 0; j < n; ++j) {
     const float i = sigmoidf(zg[0 * n + j]);
@@ -193,6 +288,8 @@ void* svdlstm_load(const char* base, const char* layer_dirs,
     }
     L.h.assign(L.units, 0.0f);
     L.c.assign(L.units, 0.0f);
+    L.zg.assign(4 * L.units, 0.0f);
+    L.zs.assign(4 * L.units, 0.0f);  // packed-B temp: sum r_g <= 4n
     m->layers.push_back(std::move(L));
     pos = (next == std::string::npos) ? next : next + 1;
     ++li;
@@ -219,11 +316,12 @@ void svdlstm_reset(void* handle) {
 
 // One frame in, one prediction out (state carried inside the handle).
 float svdlstm_step(void* handle, const float* frame, int d) {
+  (void)d;
   auto* m = static_cast<Model*>(handle);
-  std::vector<float> x(frame, frame + d);
+  const float* x = frame;
   for (auto& L : m->layers) {
     layer_step(L, x);
-    x = L.h;
+    x = L.h.data();
   }
   float y = m->head_b;
   for (size_t j = 0; j < m->head_w.size(); ++j) y += x[j] * m->head_w[j];
