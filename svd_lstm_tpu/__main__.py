@@ -25,10 +25,13 @@ _COMMANDS = {
     "train": "examples/train_full_model.py",
     "compress": "examples/svd_acceleration.py",
     "sweep": "examples/rank_sweep.py",
+    "rank-rmse": "examples/rank_rmse_published.py",
     "timing": "examples/timing_curves.py",
     "freq": "examples/frequency_prediction.py",
     "batched": "examples/batched_inference.py",
+    "seq-train": "examples/sequentialize_train.py",
     "bench": "bench.py",
+    "native-bench": "scripts/bench_native.py",
 }
 
 

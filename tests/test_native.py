@@ -77,3 +77,47 @@ def test_loads_reference_fixtures(reference_dir, rng):
     params = load_model_from_csv(path, ["lstm_69", "lstm_70", "lstm_71"], transposed=True)
     y_jax = np.asarray(stacked_lstm_apply(params, jnp.asarray(x)[None]))[0, :, 0]
     np.testing.assert_allclose(y, y_jax, atol=1e-4)
+
+
+def test_mixed_kinds_native_matches_jax(tmp_path, rng):
+    """The published deployment shape: dense outer layers, reduced middle
+    (cells 2-3 reduced, slide 13) — per-layer kind string 'drrd'."""
+    import os
+
+    import jax.numpy as jnp
+
+    from svd_lstm_tpu.models.lstm import LSTMLayerParams, StackedLSTMParams
+
+    dense4 = init_stacked_lstm(jax.random.PRNGKey(9), input_dim=6, units=(8, 8, 8, 8))
+    red4 = make_reduced_model(make_singular_model(dense4, merged_kernel=False), rank=4)
+
+    save_model_weights_as_csv(dense4, os.path.join(tmp_path, "dense"))
+    from svd_lstm_tpu.io.native import save_reduced_weights_as_csv as save_red
+
+    save_red(red4, os.path.join(tmp_path, "red"))
+    os.rename(os.path.join(tmp_path, "dense", "dense_top"),
+              os.path.join(tmp_path, "dense_top"))
+
+    nm = NativeModel(
+        str(tmp_path),
+        ["dense/lstm_0", "red/lstm_1", "red/lstm_2", "dense/lstm_3"],
+        "drrd",
+    )
+    x = rng.normal(size=(30, 6)).astype(np.float32)
+    y_native = nm.run(x)
+
+    # JAX oracle: dense layers 0,3 + exactly-reconstructed reduced 1,2
+    from svd_lstm_tpu.ops.layouts import reconstruct_dense_model
+
+    red_dense = reconstruct_dense_model(red4)
+    mixed = StackedLSTMParams(
+        layers=(
+            dense4.layers[0],
+            red_dense.layers[1],
+            red_dense.layers[2],
+            dense4.layers[3],
+        ),
+        head=dense4.head,
+    )
+    y_jax = np.asarray(stacked_lstm_apply(mixed, jnp.asarray(x)[None]))[0, :, 0]
+    np.testing.assert_allclose(y_native, y_jax, atol=1e-4)
