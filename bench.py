@@ -18,8 +18,9 @@ One run measures three operating points (one JSON report, VERDICT.md #3):
   this width — the per-step chain is latency-bound, BENCH_NOTES.md).
   Parity ~1.00 vs the reference's 1.31.
 * **batched_fast**: batched throughput (3×512, B=256, T=128), dense exact
-  vs ``predict(precision="fast")`` (bf16) — the deployment-throughput win
-  (~4.7×).
+  vs ``predict(precision="fast")`` (bf16 x-side + VMEM-resident Pallas
+  recurrence, ops/pallas_batched.py) — the deployment-throughput win
+  (~7.4×).
 
 Timing is on-device execution time via the JAX profiler
 (svd_lstm_tpu/bench/devtime.py) — wall clock through a tunneled TPU backend

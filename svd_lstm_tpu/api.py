@@ -22,7 +22,9 @@ Batched throughput additionally supports reduced-precision modes
 * ``"exact"`` (default): f32-forced matmul passes — bitwise parity with the
   exact-reconstruction identities (15.7 ms reference point);
 * ``"high"``: 3-pass-bf16 matmuls, rel.err ~1e-4 (9.9 ms, 1.6×);
-* ``"fast"``: bf16 params + activations, rel.err ~1e-2 (3.3 ms, 4.7×).
+* ``"fast"``: bf16 x-side + VMEM-resident Pallas recurrence with f32
+  accumulation (ops/pallas_batched.py), rel.err ~7e-3 (2.12 ms, 7.4×);
+  off-TPU it falls back to the all-bf16 XLA scan (3.3 ms, 4.7× on v5e).
 
 Batch-1 latency is chain/occupancy-bound, not streaming-bound — reduced
 precision does NOT help there (measured: bf16 scan 1.18× SLOWER at 3×512),
@@ -70,7 +72,7 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
         if precision == "fast":
             # In bf16 the factored forms' extra intermediates cost more than
             # the MXU time they save (6.2 vs 3.3 ms at 3×512/r=64/B=256) —
-            # reconstruct to dense (exact, in f32) and run the dense scan
+            # reconstruct to dense (exact, in f32) and run the dense path
             # instead. See BENCH_NOTES.md.
             if isinstance(params, ReducedModelParams):
                 from svd_lstm_tpu.ops.layouts import reconstruct_dense_model
@@ -80,6 +82,14 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
                 from svd_lstm_tpu.factor.svd import singular_to_dense
 
                 params = singular_to_dense(params)
+            if _on_tpu():
+                # VMEM-resident Pallas recurrence: 2.12 ms vs the XLA bf16
+                # scan's 3.32 at 3×512/B=256/T=128 (7.4× vs exact), and
+                # better accuracy (f32 accumulation in-kernel). Narrow
+                # layers fall back to the bf16 scan inside.
+                from svd_lstm_tpu.ops.pallas_batched import batched_forward_fast
+
+                return batched_forward_fast(params, x)
             params = cast_params(params, jnp.bfloat16)
             x = x.astype(jnp.bfloat16)
             out = predict(params, x, impl=impl, precision="exact")
