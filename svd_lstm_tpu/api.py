@@ -26,9 +26,15 @@ Batched throughput additionally supports reduced-precision modes
   accumulation (ops/pallas_batched.py), rel.err ~7e-3 (2.12 ms, 7.4×);
   off-TPU it falls back to the all-bf16 XLA scan (3.3 ms, 4.7× on v5e).
 
-Batch-1 latency is chain/occupancy-bound, not streaming-bound — reduced
-precision does NOT help there (measured: bf16 scan 1.18× SLOWER at 3×512),
-so ``precision`` only changes the batched path.
+Batch-1 ``precision="fast"`` (round 2) relaxes the Pallas kernels' dots to
+single-pass bf16 multiplies with f32 accumulation (``dot_precision=
+"default"``): the package's exactness default forces 3-pass f32 emulation,
+which is not free even in the chain-bound regime — measured 4×40 fused
+3.71 → 2.50 ms, wide reduced hybrid 9.83 → 5.40 ms, wide dense hybrid
+beats the scan (10.2 vs 13.9 ms), all at ~6e-3 rel.err. bf16-*cast*
+batch-1 scans remain a loss (1.18× slower at 3×512): the win is fewer MXU
+passes over the same weights, not smaller weights. ``precision="high"``
+still applies to batched input only.
 """
 
 from __future__ import annotations
@@ -53,9 +59,11 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
 
     x: (T, d) for batch-1 or (B, T, d) batched. Returns (T, out) / (B, T, out).
     impl: 'auto' | 'scan' | 'fused' | 'hybrid'.
-    precision: 'exact' | 'high' | 'fast' — batched-throughput matmul modes
-    (see module docstring for the measured speed/accuracy trade-offs);
-    ignored for batch-1 input, where reduced precision does not pay.
+    precision: 'exact' | 'high' | 'fast' — matmul precision modes (see the
+    module docstring for measured speed/accuracy trade-offs). 'fast'
+    applies to both batched input (bf16 x-side + VMEM-resident Pallas
+    recurrence) and batch-1 kernels (relaxed single-pass dots); 'high' is
+    batched-only (batch-1 'high' runs the exact path).
     """
     from svd_lstm_tpu.utils.precision import cast_params, matmul_scope
 
@@ -97,6 +105,13 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
         with scope:
             return predict(params, x, impl=impl, precision="exact")
     x1 = None if batched else x
+    # batch-1 fast mode: relaxed in-kernel dots (single-pass bf16 multiply,
+    # f32 accumulate). The f32-forced 3-pass emulation is not free even in
+    # the chain-bound regime: fused 4x40 3.71 -> 2.50 ms, wide reduced
+    # hybrid 9.83 -> 5.40 ms, rel.err ~6e-3
+    # (scripts/probe_wide_default_precision.py). On CPU "default" precision
+    # is exact f32, so the flag is harmless off-TPU.
+    dp = "default" if (not batched and precision == "fast") else None
 
     is_dense = isinstance(params, StackedLSTMParams)
     is_singular = isinstance(params, SingularModelParams)
@@ -109,19 +124,35 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
     )
 
     if is_dense:
-        if use_kernels and _max_units(params) <= 128 and impl != "hybrid":
-            from svd_lstm_tpu.ops.pallas_lstm import fused_dense_stack_pallas
+        if use_kernels:
+            if _max_units(params) <= 128 and impl != "hybrid":
+                from svd_lstm_tpu.ops.pallas_lstm import fused_dense_stack_pallas
 
-            return fused_dense_stack_pallas(params, x1)
+                return fused_dense_stack_pallas(params, x1, dot_precision=dp)
+            if dp is not None or impl == "hybrid":
+                # wide dense in fast mode: the hybrid kernel beats the XLA
+                # scan (10.2 vs 13.9 ms at 3x512) once dots are relaxed
+                from svd_lstm_tpu.ops.pallas_lstm import dense_forward_hybrid
+
+                return dense_forward_hybrid(params, x1, dot_precision=dp)
         xb = x if batched else x[None]
         out = stacked_lstm_apply(params, xb, return_sequences=True)
         return out if batched else out[0]
 
     if is_singular:
-        if use_kernels and _max_units(params) <= 128 and impl != "hybrid":
-            from svd_lstm_tpu.ops.layouts import singular_forward_fused
+        if use_kernels:
+            if _max_units(params) <= 128 and impl != "hybrid":
+                from svd_lstm_tpu.ops.layouts import singular_forward_fused
 
-            return singular_forward_fused(params, x1)
+                return singular_forward_fused(params, x1, dot_precision=dp)
+            if dp is not None or impl == "hybrid":
+                # exact dense collapse, then the wide-dense fast path
+                from svd_lstm_tpu.factor.svd import singular_to_dense
+                from svd_lstm_tpu.ops.pallas_lstm import dense_forward_hybrid
+
+                return dense_forward_hybrid(
+                    singular_to_dense(params), x1, dot_precision=dp
+                )
         xb = x if batched else x[None]
         out = singular_lstm_apply(params, xb, return_sequences=True)
         return out if batched else out[0]
@@ -132,14 +163,15 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
         if n <= 128 and impl != "hybrid":
             from svd_lstm_tpu.ops.layouts import reduced_forward_fused
 
-            return reduced_forward_fused(params, x1)
+            return reduced_forward_fused(params, x1, dot_precision=dp)
         if n >= 256 or impl == "hybrid":
             # merged: folded two-step recurrence (0.71× best dense at
-            # 3×512/r=32); split: packed-B two-step (0.79× — one dot for
-            # all gates' projections + per-gate row-compact [I|C])
+            # 3×512/r=32 exact, 0.53× in fast mode); split: packed-B
+            # two-step (0.79× — one dot for all gates' projections +
+            # per-gate row-compact [I|C])
             from svd_lstm_tpu.ops.pallas_lstm import reduced_forward_hybrid
 
-            return reduced_forward_hybrid(params, x1)
+            return reduced_forward_hybrid(params, x1, dot_precision=dp)
     from svd_lstm_tpu.ops.layouts import reduced_forward_dense_recurrent
 
     xb = x if batched else x[None]

@@ -60,17 +60,24 @@ def reconstruct_dense_model(params: ReducedModelParams):
     return StackedLSTMParams(layers=tuple(layers), head=params.head)
 
 
-def singular_forward_fused(smodel, x: jax.Array, interpret: bool = False) -> jax.Array:
+def singular_forward_fused(
+    smodel, x: jax.Array, interpret: bool = False, dot_precision=None
+) -> jax.Array:
     """Fastest batch-1 evaluation of a (full-rank) singular model: exact
     dense collapse W = (U·Σ)·Vᵀ through the fused kernel. x: (T, d)."""
     from svd_lstm_tpu.factor.svd import singular_to_dense
     from svd_lstm_tpu.ops.pallas_lstm import fused_dense_stack_pallas
 
-    return fused_dense_stack_pallas(singular_to_dense(smodel), x, interpret=interpret)
+    return fused_dense_stack_pallas(
+        singular_to_dense(smodel), x, interpret=interpret, dot_precision=dot_precision
+    )
 
 
 def reduced_forward_fused(
-    params: ReducedModelParams, x: jax.Array, interpret: bool = False
+    params: ReducedModelParams,
+    x: jax.Array,
+    interpret: bool = False,
+    dot_precision=None,
 ) -> jax.Array:
     """Fastest batch-1 whole-run evaluation of a reduced model: dense
     reconstruction (exact) through the fused compact-weight Pallas kernel.
@@ -78,7 +85,10 @@ def reduced_forward_fused(
     from svd_lstm_tpu.ops.pallas_lstm import fused_dense_stack_pallas
 
     return fused_dense_stack_pallas(
-        reconstruct_dense_model(params), x, interpret=interpret
+        reconstruct_dense_model(params),
+        x,
+        interpret=interpret,
+        dot_precision=dot_precision,
     )
 
 

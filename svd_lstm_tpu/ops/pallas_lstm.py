@@ -32,6 +32,7 @@ MXU serves well at large batch.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Tuple
 
@@ -127,8 +128,25 @@ def _gates_compact(
     return o * jnp.tanh(c_new), c_new
 
 
-def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+def _dot(a, b, precision=None):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
+
+
+def _resolve_dot_precision(dot_precision):
+    """None -> inherit the package default (f32-forced passes: exact);
+    'default' -> single-pass bf16 multiply with f32 accumulation — the
+    batch-1 "fast" mode. Measured (scripts/probe_wide_default_precision.py,
+    batch-1 T=6656): the f32-forced 3-pass emulation is NOT free even in
+    the chain-bound regime — fused 4×40 drops 3.71 -> 2.50 ms and the wide
+    reduced hybrid 9.83 -> 5.40 ms at ~6e-3 rel.err under 'default'."""
+    if dot_precision is None:
+        return None
+    if isinstance(dot_precision, jax.lax.Precision):
+        return dot_precision
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[dot_precision]
 
 
 def _pad_state(s: jax.Array | None, n: int, npg: int) -> jax.Array:
@@ -170,12 +188,14 @@ def lstm_recurrence_pallas(
     ct: int = DEFAULT_CT,
     interpret: bool = False,
     unroll: int = DEFAULT_UNROLL,
+    dot_precision=None,
 ) -> jax.Array:
     """Dense h-side recurrence; returns h_seq (T, n)."""
     T, g4 = xp.shape
     n = U.shape[0]
     assert g4 == 4 * n
     npg = _ceil_to(n, LANE)
+    prec = _resolve_dot_precision(dot_precision)
 
     xp_p = pad_gate_cols(xp, n, npg)
     # Weights stay row-compact: (n, 4*npg), NOT padded to npg rows — the
@@ -193,7 +213,7 @@ def lstm_recurrence_pallas(
             c_scr[:] = c0_ref[:]
 
         def step(t):
-            z = xp_ref[pl.ds(t, 1), :] + _dot(h_scr[:, :n], u_ref[:])
+            z = xp_ref[pl.ds(t, 1), :] + _dot(h_scr[:, :n], u_ref[:], prec)
             h, c = _gates_p(z, c_scr[:], npg)
             h_scr[:] = h
             c_scr[:] = c
@@ -217,12 +237,14 @@ def reduced_recurrence_pallas(
     ct: int = DEFAULT_CT,
     interpret: bool = False,
     unroll: int = DEFAULT_UNROLL,
+    dot_precision=None,
 ) -> jax.Array:
     """Low-rank h-side recurrence via the folded (h@B)@[I|C] form."""
     T, g4 = xp.shape
     n = g4 // 4
     npg = _ceil_to(n, LANE)
     split = isinstance(uB, tuple)
+    prec = _resolve_dot_precision(dot_precision)
 
     xp_p = pad_gate_cols(xp, n, npg)
     h0_p = _pad_state(h0, n, npg)
@@ -258,10 +280,10 @@ def reduced_recurrence_pallas(
                 c_scr[:] = c0_ref[:]
 
             def step(t):
-                hb = _dot(h_scr[:, :n], refs[0][:])  # (1, Rp), all gates
+                hb = _dot(h_scr[:, :n], refs[0][:], prec)  # (1, Rp), all gates
                 for g in range(4):
                     z_scr[:, g * npg : (g + 1) * npg] = _dot(
-                        hb[:, offs[g] : offs[g] + ranks[g]], refs[1 + g][:]
+                        hb[:, offs[g] : offs[g] + ranks[g]], refs[1 + g][:], prec
                     )
                 z = z_scr[:] + xp_ref[pl.ds(t, 1), :]
                 hn, cn = _gates_p(z, c_scr[:], npg)
@@ -297,8 +319,8 @@ def reduced_recurrence_pallas(
             c_scr[:] = c0_ref[:]
 
         def step(t):
-            hb = _dot(h_scr[:, :n], b_ref[:])
-            z = _dot(hb[:, :r], ic_ref[:]) + xp_ref[pl.ds(t, 1), :]
+            hb = _dot(h_scr[:, :n], b_ref[:], prec)
+            z = _dot(hb[:, :r], ic_ref[:], prec) + xp_ref[pl.ds(t, 1), :]
             hn, cn = _gates_p(z, c_scr[:], npg)
             h_scr[:] = hn
             c_scr[:] = cn
@@ -324,6 +346,7 @@ def fused_dense_stack_pallas(
     interpret: bool = False,
     unroll: int = DEFAULT_UNROLL,
     layout: str = "auto",
+    dot_precision=None,
 ) -> jax.Array:
     """Whole stacked model + head in one kernel. x: (T, d) -> y: (T, out).
 
@@ -350,6 +373,7 @@ def fused_dense_stack_pallas(
     hypothesis and for potential future hardware where streaming wins.
     """
     T, d = x.shape
+    prec = _resolve_dot_precision(dot_precision)
     units = [l.units for l in params.layers]
     L = len(units)
     ks = [gate_group_size(n) if layout == "compact" else 1 for n in units]
@@ -392,8 +416,8 @@ def fused_dense_stack_pallas(
             inp = x_ref[pl.ds(t, 1), :d]
             for i in range(L):
                 z = (
-                    _dot(inp, w_refs[3 * i][:])
-                    + _dot(scr[2 * i][:, : units[i]], w_refs[3 * i + 1][:])
+                    _dot(inp, w_refs[3 * i][:], prec)
+                    + _dot(scr[2 * i][:, : units[i]], w_refs[3 * i + 1][:], prec)
                     + w_refs[3 * i + 2][:]
                 )
                 if ks[i] > 1:
@@ -431,12 +455,14 @@ def fused_reduced_stack_pallas(
     ct: int = DEFAULT_CT,
     interpret: bool = False,
     unroll: int = DEFAULT_UNROLL,
+    dot_precision=None,
 ) -> jax.Array:
     """Whole reduced (folded two-step) model + head in one kernel.
 
     Both the input-side and recurrent-side low-rank products run as
     (v @ B) @ [I|C] pairs per layer (merged) or per gate (split)."""
     T, d = x.shape
+    prec = _resolve_dot_precision(dot_precision)
     layers = params.layers
     units = [l.units for l in layers]
     L = len(layers)
@@ -498,17 +524,17 @@ def fused_reduced_stack_pallas(
                 h_live = h_scr[:, :n_i]
                 if split:
                     for g in range(4):
-                        xb = _dot(inp, w_refs[first + 2 * g][:])
-                        zx = _dot(xb[:, : w_ranks[g]], w_refs[first + 2 * g + 1][:])
-                        hb = _dot(h_live, w_refs[first + 8 + 2 * g][:])
-                        zu = _dot(hb[:, : u_ranks[g]], w_refs[first + 8 + 2 * g + 1][:])
+                        xb = _dot(inp, w_refs[first + 2 * g][:], prec)
+                        zx = _dot(xb[:, : w_ranks[g]], w_refs[first + 2 * g + 1][:], prec)
+                        hb = _dot(h_live, w_refs[first + 8 + 2 * g][:], prec)
+                        zu = _dot(hb[:, : u_ranks[g]], w_refs[first + 8 + 2 * g + 1][:], prec)
                         z_scr[:, g * npg : (g + 1) * npg] = zx + zu
                     z = z_scr[:] + w_refs[first + 16][:]
                 else:
-                    xb = _dot(inp, w_refs[first][:])
-                    zx = _dot(xb[:, : w_ranks[0]], w_refs[first + 1][:])
-                    hb = _dot(h_live, w_refs[first + 2][:])
-                    zu = _dot(hb[:, : u_ranks[0]], w_refs[first + 3][:])
+                    xb = _dot(inp, w_refs[first][:], prec)
+                    zx = _dot(xb[:, : w_ranks[0]], w_refs[first + 1][:], prec)
+                    hb = _dot(h_live, w_refs[first + 2][:], prec)
+                    zu = _dot(hb[:, : u_ranks[0]], w_refs[first + 3][:], prec)
                     z = zx + zu + w_refs[first + 4][:]
                 h, c = _gates_p(z, c_scr[:], npg)
                 h_scr[:] = h
@@ -544,31 +570,59 @@ def fused_reduced_stack_pallas(
 # jitted convenience wrappers (hybrid XLA-matmul + pallas-recurrence paths)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "dot_precision"))
 def dense_forward_hybrid(
-    params: StackedLSTMParams, x: jax.Array, interpret: bool = False
+    params: StackedLSTMParams,
+    x: jax.Array,
+    interpret: bool = False,
+    dot_precision=None,
 ) -> jax.Array:
     """Per-layer hybrid: XLA big MXU matmul for every layer's input
-    projection, Pallas kernel for its recurrence. x: (T, d) -> y: (T, out)."""
+    projection, Pallas kernel for its recurrence. x: (T, d) -> y: (T, out).
+
+    ``dot_precision="default"`` relaxes BOTH the x-side matmuls and the
+    in-kernel dots to single-pass bf16 multiplies (f32 accumulate) — the
+    batch-1 fast mode. At 3×512/T=6656 this makes the hybrid the best
+    dense path (10.2 ms vs the f32 scan's 13.9; the f32-forced hybrid is
+    46 ms — see scripts/probe_wide_default_precision.py)."""
+    prec = _resolve_dot_precision(dot_precision)
     h = x
     for l in params.layers:
-        xp = h @ l.W + l.b  # (T, 4n) — one MXU matmul
-        h = lstm_recurrence_pallas(xp, l.U, interpret=interpret)
+        xp = jnp.dot(h, l.W, precision=prec) + l.b  # (T, 4n) — one MXU matmul
+        h = lstm_recurrence_pallas(
+            xp, l.U, interpret=interpret, dot_precision=dot_precision
+        )
     return h @ params.head.w + params.head.b
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "dot_precision"))
 def reduced_forward_hybrid(
-    params: ReducedModelParams, x: jax.Array, interpret: bool = False
+    params: ReducedModelParams,
+    x: jax.Array,
+    interpret: bool = False,
+    dot_precision=None,
 ) -> jax.Array:
     """Hybrid path for the reduced model: two-step input projections as big
-    XLA matmuls, folded two-step recurrence in Pallas."""
+    XLA matmuls, folded two-step recurrence in Pallas.
+
+    ``dot_precision="default"`` = batch-1 fast mode (see
+    :func:`dense_forward_hybrid`): 9.83 → 5.40 ms at 3×512/r=32/T=6656,
+    rel.err ~6e-3."""
     from svd_lstm_tpu.models.reduced import reduced_projection
 
+    prec = _resolve_dot_precision(dot_precision)
+    relaxed = prec == jax.lax.Precision.DEFAULT
     h = x
     for l in params.layers:
-        xp = reduced_projection(l, h, "w") + l.b
+        with (
+            jax.default_matmul_precision("bfloat16")
+            if relaxed
+            else contextlib.nullcontext()
+        ):
+            xp = reduced_projection(l, h, "w") + l.b
         uB = tuple(l.uB) if l.split else l.uB
         uC = tuple(l.uC) if l.split else l.uC
-        h = reduced_recurrence_pallas(xp, uB, uC, interpret=interpret)
+        h = reduced_recurrence_pallas(
+            xp, uB, uC, interpret=interpret, dot_precision=dot_precision
+        )
     return h @ params.head.w + params.head.b

@@ -85,6 +85,31 @@ def test_forward_fast_narrow_layers_use_scan_fallback(rng):
     assert rel < 3e-2
 
 
+def test_batch1_fast_dot_precision_exact_on_cpu(rng):
+    """dot_precision='default' (the batch-1 fast mode) changes nothing in
+    interpret mode — CPU DEFAULT-precision f32 dots are exact, so the
+    relaxation is purely a TPU MXU-pass reduction."""
+    from svd_lstm_tpu.ops.pallas_lstm import fused_dense_stack_pallas
+
+    params = init_stacked_lstm(jax.random.PRNGKey(5), input_dim=4, units=(16, 16))
+    x1 = jnp.asarray(rng.normal(size=(12, 4)).astype(np.float32))
+    y_exact = np.asarray(fused_dense_stack_pallas(params, x1, interpret=True))
+    y_fast = np.asarray(
+        fused_dense_stack_pallas(params, x1, interpret=True, dot_precision="default")
+    )
+    np.testing.assert_array_equal(y_fast, y_exact)
+
+
+def test_predict_fast_batch1_cpu_runs_exact(rng):
+    from svd_lstm_tpu.api import predict
+
+    params = init_stacked_lstm(jax.random.PRNGKey(6), input_dim=4, units=(16, 16))
+    x1 = jnp.asarray(rng.normal(size=(12, 4)).astype(np.float32))
+    y_exact = np.asarray(predict(params, x1, precision="exact"))
+    y_fast = np.asarray(predict(params, x1, precision="fast"))
+    np.testing.assert_allclose(y_fast, y_exact, atol=1e-6)
+
+
 def test_predict_fast_dispatches_batched(rng):
     """predict(..., precision='fast') on CPU keeps the XLA fallback and
     matches the exact path to bf16 tolerance (the TPU dispatch to
