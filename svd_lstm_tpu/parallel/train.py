@@ -301,3 +301,34 @@ def make_batched_inference(mesh: Mesh, apply_fn) -> Callable:
         return apply_fn(params_r, X, return_sequences=True)
 
     return run
+
+
+def make_batched_fast_inference(mesh: Mesh, interpret: bool = False) -> Callable:
+    """dp-sharded *fast-precision* batched inference: every device runs the
+    VMEM-resident Pallas recurrence (ops/pallas_batched.py, the 7.4×
+    throughput path) on its local batch shard of independent sequences.
+
+    GSPMD cannot auto-partition a ``pallas_call``, so unlike
+    :func:`make_batched_inference` this uses an explicit ``shard_map`` over
+    a flat batch axis — no collectives are needed (sequences are
+    independent), the kernel just runs per shard."""
+    from svd_lstm_tpu.ops.pallas_batched import batched_forward_fast
+
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("b",))
+
+    @jax.jit
+    def run(params, X):  # X: (B, T, d) f32, B % n_dev == 0
+        X = jax.device_put(X, NamedSharding(flat_mesh, P("b", None, None)))
+        params_r = jax.device_put(params, NamedSharding(flat_mesh, P()))
+        return shard_map(
+            lambda p, xb: batched_forward_fast(p, xb, interpret=interpret),
+            mesh=flat_mesh,
+            in_specs=(P(), P("b", None, None)),
+            out_specs=P("b", None, None),
+            # pallas_call's out_shape carries no varying-mesh-axes info, so
+            # the vma check cannot see through it; the kernel is purely
+            # local (no collectives), making the check vacuous here
+            check_vma=False,
+        )(params_r, X)
+
+    return run
