@@ -46,18 +46,28 @@ def wide(args):
     smodel = st.make_singular_model(params, merged_kernel=True)
     x = jnp.asarray(rng.normal(size=(T, 16)), jnp.float32)
 
-    full_fn = jax.jit(lambda p, xx: stacked_lstm_apply(p, xx[None], return_sequences=True)[0])
-    if on_tpu:
-        red_fn = jax.jit(reduced_forward_hybrid)
+    if args.fast and on_tpu:
+        # fast mode: both models through relaxed single-pass dots — full runs
+        # the dense hybrid kernel (beats the scan once dots are single-pass),
+        # reduced the hybrid two-step (BENCH_NOTES "fast mode")
+        from svd_lstm_tpu.ops.pallas_lstm import dense_forward_hybrid
+
+        full_fn = jax.jit(lambda p, xx: dense_forward_hybrid(p, xx, dot_precision="default"))
+        red_fn = jax.jit(lambda p, xx: reduced_forward_hybrid(p, xx, dot_precision="default"))
     else:
-        from svd_lstm_tpu.ops.layouts import reduced_forward_dense_recurrent
+        full_fn = jax.jit(lambda p, xx: stacked_lstm_apply(p, xx[None], return_sequences=True)[0])
+        if on_tpu:
+            red_fn = jax.jit(reduced_forward_hybrid)
+        else:
+            from svd_lstm_tpu.ops.layouts import reduced_forward_dense_recurrent
 
-        red_fn = jax.jit(
-            lambda p, xx: reduced_forward_dense_recurrent(p, xx[None], return_sequences=True)[0]
-        )
+            red_fn = jax.jit(
+                lambda p, xx: reduced_forward_dense_recurrent(p, xx[None], return_sequences=True)[0]
+            )
 
+    mode = "fast hybrid" if (args.fast and on_tpu) else "dense scan"
     t_full = device_time_ms(full_fn, params, x, repeats=3)
-    print(f"full (dense scan, 3x512): {t_full:.3f} ms")
+    print(f"full ({mode}, 3x512): {t_full:.3f} ms")
 
     ratios = []
     for r in ranks:
@@ -66,7 +76,8 @@ def wide(args):
         ratios.append(t_red / t_full)
         print(f"r={r:3d}: reduced {t_red:.3f} ms  ratio {ratios[-1]:.3f}")
 
-    path = os.path.join(args.plots, "timing_plot_wide.png")
+    name = "timing_plot_wide_fast.png" if (args.fast and on_tpu) else "timing_plot_wide.png"
+    path = os.path.join(args.plots, name)
     plot_timing_curve(ranks, ratios, xlabel="kept rank r (n=512)", savepath=path)
     print(f"wrote {path}  (reference band: 1.31-1.39 — never below 1)")
 
@@ -78,6 +89,9 @@ def main():
     ap.add_argument("--T", type=int, default=6656)
     ap.add_argument("--wide", action="store_true",
                     help="3x512 curve (the wide-model speedup regime)")
+    ap.add_argument("--fast", action="store_true",
+                    help="with --wide: measure both models in fast precision "
+                    "(single-pass dots; BENCH_NOTES 'fast mode')")
     args = ap.parse_args()
 
     if args.wide:
