@@ -269,7 +269,10 @@ def main():
     # Headline: the best compression latency ratio this framework delivers
     # at batch-1 whole-run (the wide operating point), against the
     # reference's 1.31 (it never went below 1.0 at ANY size or rank).
-    headline = (wide or ref)["ratio"]
+    head_src = wide or ref
+    if head_src is None:
+        head_src = {"ratio": None, "config": "batched-only run (ref+wide skipped)"}
+    headline = head_src["ratio"]
     print(
         json.dumps(
             {
@@ -277,9 +280,11 @@ def main():
                 "value": headline,
                 "unit": (
                     f"ratio (batch-1 device-time; headline config: "
-                    f"{(wide or ref)['config']})"
+                    f"{head_src['config']})"
                 ),
-                "vs_baseline": round(REFERENCE_RATIO / headline, 4),
+                "vs_baseline": (
+                    round(REFERENCE_RATIO / headline, 4) if headline else None
+                ),
                 "reference_scale": ref,
                 "wide": wide,
                 "batched_fast": batched,

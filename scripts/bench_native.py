@@ -12,9 +12,9 @@ the native engine (no Python/JAX in the loop) for the dense 4x40 model
 vs its split-reduced forms.
 
 Wall clock is valid here: the loop is native CPU code with no dispatch
-overhead; timings are best-of-5 over T=20000 steps.
+overhead; timings are best-of-9 over T=10000 steps (200-step warmup).
 
-Run: PYTHONPATH=/root/repo python scripts/bench_native.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_native.py
 """
 
 import os

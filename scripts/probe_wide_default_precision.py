@@ -32,15 +32,6 @@ T = 6656
 rng = np.random.default_rng(0)
 
 
-def set_dot_precision(prec):
-    """Patch the kernel-module _dot to the given precision."""
-
-    def _dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
-
-    PK._dot = _dot
-
-
 def run(units, rank, d=16):
     x1 = jnp.asarray(rng.normal(size=(T, d)).astype(np.float32))
     params = init_stacked_lstm(jax.random.PRNGKey(0), d, units)
@@ -56,16 +47,21 @@ def run(units, rank, d=16):
 
     wide = max(units) > 128
     for prec in ("highest", "default"):
-        set_dot_precision(
-            jax.lax.Precision.HIGHEST if prec == "highest" else jax.lax.Precision.DEFAULT
-        )
-        # fresh (un-cached) jits over the unwrapped bodies so the patched
-        # _dot is actually traced in — the decorated wrappers cache traces
+        # dot_precision is a first-class kernel parameter since the batch-1
+        # fast mode landed (this probe originally monkeypatched _dot);
+        # None = inherit the package's f32-forced default = exact
+        dp = None if prec == "highest" else "default"
         if wide:
-            full_fn = jax.jit(lambda p, xx: PK.dense_forward_hybrid.__wrapped__(p, xx))
+            full_fn = jax.jit(
+                lambda p, xx, dp=dp: PK.dense_forward_hybrid(p, xx, dot_precision=dp)
+            )
         else:
-            full_fn = jax.jit(lambda p, xx: PK.fused_dense_stack_pallas(p, xx))
-        red_fn = jax.jit(lambda p, xx: PK.reduced_forward_hybrid.__wrapped__(p, xx))
+            full_fn = jax.jit(
+                lambda p, xx, dp=dp: PK.fused_dense_stack_pallas(p, xx, dot_precision=dp)
+            )
+        red_fn = jax.jit(
+            lambda p, xx, dp=dp: PK.reduced_forward_hybrid(p, xx, dot_precision=dp)
+        )
         try:
             yf = np.asarray(full_fn(params, x1))
             tf = device_time_ms(full_fn, params, x1)
@@ -79,7 +75,6 @@ def run(units, rank, d=16):
             )
         except Exception as e:
             print(f"{units} prec={prec}: FAILED {str(e)[:100]}")
-    set_dot_precision(jax.lax.Precision.HIGHEST)
     t_scan = device_time_ms(scan_fn, params, x1)
     print(f"  (XLA scan dense baseline: {t_scan:.3f} ms)")
 

@@ -71,8 +71,9 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
     batched = x.ndim == 3
     if batched and impl in ("fused", "hybrid"):
         raise ValueError(
-            f"impl={impl!r} kernels are batch-1 only; use impl='auto'/'scan' "
-            "for (B, T, d) input (batched throughput runs the XLA scan path)"
+            f"impl={impl!r} kernels are batch-1 only; use impl='auto' (Pallas "
+            "batched fast path on TPU) or impl='scan' (pure XLA) for "
+            "(B, T, d) input"
         )
     if batched and precision != "exact":
         import jax.numpy as jnp
@@ -90,11 +91,13 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
                 from svd_lstm_tpu.factor.svd import singular_to_dense
 
                 params = singular_to_dense(params)
-            if _on_tpu():
+            if _on_tpu() and impl != "scan":
                 # VMEM-resident Pallas recurrence: 2.12 ms vs the XLA bf16
                 # scan's 3.32 at 3×512/B=256/T=128 (7.4× vs exact), and
                 # better accuracy (f32 accumulation in-kernel). Narrow
-                # layers fall back to the bf16 scan inside.
+                # layers fall back to the bf16 scan inside. impl='scan'
+                # keeps the pure-XLA path (the documented escape hatch
+                # from the Mosaic toolchain bugs in ops/pallas_batched.py).
                 from svd_lstm_tpu.ops.pallas_batched import batched_forward_fast
 
                 return batched_forward_fast(params, x)
@@ -172,6 +175,17 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
             from svd_lstm_tpu.ops.pallas_lstm import reduced_forward_hybrid
 
             return reduced_forward_hybrid(params, x1, dot_precision=dp)
+        if dp is not None:
+            # mid-width (128 < n < 256) fast mode: honor the precision
+            # request via dense-reconstructed execution through the
+            # relaxed hybrid kernel (the n<=128 rule's layout, one dot
+            # per step, single-pass)
+            from svd_lstm_tpu.ops.layouts import reconstruct_dense_model
+            from svd_lstm_tpu.ops.pallas_lstm import dense_forward_hybrid
+
+            return dense_forward_hybrid(
+                reconstruct_dense_model(params), x1, dot_precision=dp
+            )
     from svd_lstm_tpu.ops.layouts import reduced_forward_dense_recurrent
 
     xb = x if batched else x[None]

@@ -72,10 +72,13 @@ def _gate_cols(n: int, layout: str) -> int:
       C-layout) -> (4//k)*128 with k = gate_group_size(n).
     """
     if layout == "compact":
-        if 4 * n <= LANE:
-            return LANE
-        if 2 * n <= LANE:
-            return 2 * LANE
+        # derive from the kernel's own packing rule so the model cannot
+        # drift from what ops/pallas_lstm actually streams
+        from svd_lstm_tpu.utils.linalg import gate_group_size
+
+        k = gate_group_size(n, LANE)
+        if k > 1:
+            return (4 // k) * LANE
     return 4 * (-(-n // LANE) * LANE)
 
 

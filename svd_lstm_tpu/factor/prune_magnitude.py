@@ -98,10 +98,15 @@ def finetune_with_pruning(
     **finetune_kwargs,
 ):
     """Fine-tune with the pruning mask re-applied after every epoch at the
-    schedule's current sparsity (tfmot applies its mask every train step via
-    ``UpdatePruningStep``; epoch granularity is equivalent for a monotone
-    schedule since masks only tighten). Returns the fit result with pruned
-    final params.
+    schedule's current sparsity. Granularity difference vs tfmot,
+    documented honestly: tfmot zeroes masked weights *every train step*
+    (``UpdatePruningStep``), so pruned weights cannot move between mask
+    updates; here σ's pruned at an epoch boundary may regrow *within* the
+    following epoch before the (recomputed, tighter) mask re-zeroes them.
+    For the monotone polynomial schedule the end state is the same masked
+    sparsity level. Optimizer state (adam moments) carries across epochs —
+    the loop is one continuous fine-tune, as in tfmot — and ``history``
+    accumulates every epoch's loss.
     """
     from svd_lstm_tpu.config import FactorConfig, TrainConfig
     from svd_lstm_tpu.train.finetune import finetune
@@ -118,14 +123,22 @@ def finetune_with_pruning(
 
     params = sparams
     result = None
+    history, val_history = [], []
+    opt_state = None
     for epoch in range(train_cfg.epochs):
         one = dataclasses.replace(train_cfg, epochs=1, seed=train_cfg.seed + epoch)
         result = finetune(
             params, X_train, y_train,
-            factor_cfg=factor_cfg, train_cfg=one, **finetune_kwargs,
+            factor_cfg=factor_cfg, train_cfg=one,
+            init_opt_state=opt_state, **finetune_kwargs,
         )
+        opt_state = result.opt_state
+        history.extend(result.history)
+        val_history.extend(result.val_history or [])
         sparsity = schedule((epoch + 1) * steps_per_epoch)
         params = prune_sigmas(result.params, sparsity)
     if result is not None:
         result.params = params
+        result.history = history
+        result.val_history = val_history or result.val_history
     return result

@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from svd_lstm_tpu.models.lstm import StackedLSTMParams, gate_update
+from svd_lstm_tpu.ops.pallas_lstm import _gates_p  # shape-generic: (rows, 4*npg)
 from svd_lstm_tpu.utils.linalg import pad_gate_cols
 
 LANE = 128
@@ -52,16 +53,6 @@ DEFAULT_BT = 512  # batch-tile rows per grid step
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-def _gates_p_batched(z: jax.Array, c: jax.Array, npg: int):
-    """P-layout gate math on (B, 4*npg) blocks; c: (B, npg)."""
-    i = jax.nn.sigmoid(z[:, 0:npg])
-    f = jax.nn.sigmoid(z[:, npg : 2 * npg])
-    g = jnp.tanh(z[:, 2 * npg : 3 * npg])
-    o = jax.nn.sigmoid(z[:, 3 * npg :])
-    c_new = f * c + i * g
-    return o * jnp.tanh(c_new), c_new
 
 
 def batched_lstm_recurrence_pallas(
@@ -116,7 +107,7 @@ def batched_lstm_recurrence_pallas(
             )
             + xp_ref[:].astype(jnp.float32)
         )
-        h, c = _gates_p_batched(z, c_scr[:], npg)
+        h, c = _gates_p(z, c_scr[:], npg)
         h_scr[:] = h
         c_scr[:] = c
         out_ref[:] = h.astype(dtype)
@@ -154,9 +145,9 @@ def batched_forward_fast(
     (B, T, out) f32.
 
     This is the TPU implementation behind ``predict(..., precision="fast")``
-    for batched input — measured 2.04 ms vs the XLA fast path's 3.32 ms at
-    the 3x512/B=256/T=128 benchmark point (and 1e-3 rel.err vs exact,
-    ~8x better than all-bf16, because accumulation stays f32 in-kernel).
+    for batched input — measured 2.12 ms vs the XLA fast path's 3.32 ms at
+    the 3x512/B=256/T=128 benchmark point (and ~7e-3 rel.err vs exact —
+    better than all-bf16 because accumulation stays f32 in-kernel).
     """
     h = jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16)  # (T, B, d)
     for layer in params.layers:

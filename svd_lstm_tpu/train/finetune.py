@@ -77,6 +77,7 @@ def finetune(
     factor_cfg: FactorConfig = FactorConfig(),
     train_cfg: TrainConfig | None = None,
     verbose: bool = False,
+    init_opt_state=None,
 ) -> TrainResult:
     if train_cfg is None:
         train_cfg = TrainConfig(
@@ -116,6 +117,7 @@ def finetune(
         loss_extra=lambda p: regularization_loss(p, factor_cfg),
         verbose=verbose,
         dropout_rng=dropout_rng,
+        init_opt_state=init_opt_state,
     )
 
 

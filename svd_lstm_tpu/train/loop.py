@@ -58,6 +58,7 @@ def fit(
     verbose: bool = False,
     windows: tuple | None = None,
     dropout_rng: jax.Array | None = None,
+    init_opt_state: Any = None,
 ) -> TrainResult:
     """Train ``params`` on random windows of the (1, T, d) training run.
 
@@ -82,7 +83,13 @@ def fit(
     params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
     if optimizer is None:
         optimizer = optax.adam(cfg.learning_rate)
-    opt_state = optimizer.init(params)
+    # init_opt_state lets multi-phase callers (e.g. pruning fine-tune)
+    # carry adam moments across phases instead of resetting them
+    opt_state = (
+        jax.tree.map(jnp.asarray, init_opt_state)
+        if init_opt_state is not None
+        else optimizer.init(params)
+    )
 
     if loss_extra is None:
         def base_loss(p, x, y, f, rng=None):

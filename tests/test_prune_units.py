@@ -134,3 +134,18 @@ class TestMagnitudePruning:
         )
         assert np.isfinite(res.history).all()
         assert np.isclose(sigma_sparsity(res.params), 0.4, atol=0.05)
+        # one continuous fine-tune: history covers every epoch, and the
+        # returned opt_state is the live adam state (not a fresh init)
+        assert len(res.history) == tcfg.epochs
+        import optax
+
+        counts = [
+            int(np.asarray(c))
+            for c in jax.tree.leaves(res.opt_state)
+            if np.asarray(c).ndim == 0 and np.issubdtype(np.asarray(c).dtype, np.integer)
+        ]
+        steps_per_epoch = tcfg.num_windows // tcfg.batch_size
+        assert max(counts) == tcfg.epochs * steps_per_epoch, (
+            "adam step count must accumulate across pruning epochs "
+            f"(got {counts}, want {tcfg.epochs * steps_per_epoch})"
+        )
