@@ -12,6 +12,7 @@
 // no dependencies beyond the C++ standard library.
 
 #include <cmath>
+#include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
@@ -263,6 +264,108 @@ void layer_step(Layer& L, const float* x) {
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// int8 binary artifact (io/int8_export.py): "SVDL8BIN", per-output-column
+// symmetric quantization (w ~= q * scale). Dequantized on load — the
+// streaming math stays f32; the artifact is ~4x smaller than f32 CSVs.
+// ---------------------------------------------------------------------------
+
+bool read_exact(FILE* f, void* dst, size_t n) {
+  return std::fread(dst, 1, n, f) == n;
+}
+
+bool read_u32(FILE* f, uint32_t* v) { return read_exact(f, v, 4); }
+
+// qmat: u32 rows, u32 cols, f32 scale[cols], i8 data[rows*cols]
+bool read_qmat(FILE* f, FlatMat* out) {
+  uint32_t rows = 0, cols = 0;
+  if (!read_u32(f, &rows) || !read_u32(f, &cols)) return false;
+  out->rows = static_cast<int>(rows);
+  out->cols = static_cast<int>(cols);
+  out->d.assign(static_cast<size_t>(rows) * cols, 0.0f);
+  if (cols == 0) return true;
+  std::vector<float> scale(cols);
+  if (!read_exact(f, scale.data(), sizeof(float) * cols)) return false;
+  std::vector<int8_t> q(static_cast<size_t>(rows) * cols);
+  if (rows && !read_exact(f, q.data(), q.size())) return false;
+  for (uint32_t i = 0; i < rows; ++i)
+    for (uint32_t j = 0; j < cols; ++j)
+      out->d[static_cast<size_t>(i) * cols + j] =
+          static_cast<float>(q[static_cast<size_t>(i) * cols + j]) * scale[j];
+  return true;
+}
+
+bool read_fvec(FILE* f, std::vector<float>* out) {
+  uint32_t len = 0;
+  if (!read_u32(f, &len)) return false;
+  out->assign(len, 0.0f);
+  return len == 0 || read_exact(f, out->data(), sizeof(float) * len);
+}
+
+// choose accumulate vs dot form for a loaded C factor (same heuristic as
+// load_reduced_layer: dot iterates the contraction dim — wins when r > n-r)
+void place_C(FlatMat&& C, FlatMat* slot, bool* dot) {
+  *dot = C.rows > C.cols;
+  *slot = *dot ? transpose(C) : std::move(C);
+}
+
+bool load_int8_model(const std::string& path, Model* m) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) return false;
+  char magic[8];
+  uint32_t version = 0, n_layers = 0;
+  bool ok = read_exact(f, magic, 8) && std::memcmp(magic, "SVDL8BIN", 8) == 0 &&
+            read_u32(f, &version) && version == 1 && read_u32(f, &n_layers);
+  for (uint32_t li = 0; ok && li < n_layers; ++li) {
+    uint8_t kind = 0;
+    ok = read_exact(f, &kind, 1);
+    if (!ok) break;
+    Layer L;
+    if (kind == 'd') {
+      ok = read_qmat(f, &L.Wcat) && read_qmat(f, &L.Ucat) && read_fvec(f, &L.bcat);
+      L.units = L.Ucat.rows;
+      L.reduced = false;
+    } else if (kind == 'r') {
+      FlatMat wB[4], uB[4];
+      for (int g = 0; ok && g < 4; ++g) {
+        FlatMat C;
+        ok = read_qmat(f, &wB[g]) && read_qmat(f, &C);
+        if (ok) place_C(std::move(C), &L.wC[g], &L.wCdot[g]);
+      }
+      for (int g = 0; ok && g < 4; ++g) {
+        FlatMat C;
+        ok = read_qmat(f, &uB[g]) && read_qmat(f, &C);
+        if (ok) place_C(std::move(C), &L.uC[g], &L.uCdot[g]);
+      }
+      ok = ok && read_fvec(f, &L.bcat);
+      if (ok) {
+        L.wBcat = cat_cols(wB, 4, L.wOff);
+        L.uBcat = cat_cols(uB, 4, L.uOff);
+        L.units = L.uBcat.rows;
+        L.reduced = true;
+      }
+    } else {
+      ok = false;
+    }
+    if (ok) {
+      L.h.assign(L.units, 0.0f);
+      L.c.assign(L.units, 0.0f);
+      L.zg.assign(4 * L.units, 0.0f);
+      L.zs.assign(4 * L.units, 0.0f);
+      m->layers.push_back(std::move(L));
+    }
+  }
+  if (ok) {
+    ok = read_fvec(f, &m->head_w);
+    float hb = 0.0f;
+    ok = ok && read_exact(f, &hb, 4);
+    m->head_b = hb;
+  }
+  std::fclose(f);
+  return ok;
+}
+
 }  // namespace
 
 extern "C" {
@@ -303,6 +406,16 @@ void* svdlstm_load(const char* base, const char* layer_dirs,
   for (auto& row : w)
     for (float v : row) m->head_w.push_back(v);
   m->head_b = b[0][0];
+  return m;
+}
+
+// Load the int8 binary artifact (io/int8_export.py writes it).
+void* svdlstm_load_int8(const char* path) {
+  auto* m = new Model();
+  if (!load_int8_model(path, m)) {
+    delete m;
+    return nullptr;
+  }
   return m;
 }
 

@@ -72,6 +72,14 @@ def _export(argv):
             f"int8 checkpoint -> {path} "
             f"({param_bytes(q)} vs {param_bytes(params)} bytes on device)"
         )
+        from svd_lstm_tpu.io.int8_export import save_model_int8_bin
+
+        bin_path = os.path.join(args.outdir, "model_int8.bin")
+        nbytes = save_model_int8_bin(params, bin_path)
+        print(
+            f"int8 native artifact -> {bin_path} ({nbytes} bytes; "
+            "loads via NativeModel.from_int8 / svdlstm_load_int8)"
+        )
 
 
 def main():

@@ -1,0 +1,131 @@
+"""int8 binary deployment artifact for the native runtime.
+
+The reference's deployment chain exports f32 per-gate CSVs for a LabVIEW
+real-time consumer (reference code/load_preprocess.py:93-126). This module
+adds the compressed variant: one little-endian binary file holding every
+weight matrix int8-quantized per output column (utils/quantize.py scheme:
+``w ~= q * scale``, ``scale = max|col|/127``) — ~4x smaller than the f32
+CSVs, consumed directly by the native C++ runtime (``svdlstm_load_int8``),
+which dequantizes on load so the streaming math stays f32.
+
+Format (all little-endian; "qmat" = u32 rows, u32 cols, f32 scale[cols],
+i8 data[rows*cols] row-major; "fvec" = u32 len, f32 data[len]):
+
+    magic  "SVDL8BIN"            (8 bytes)
+    u32    version (= 1)
+    u32    n_layers
+    per layer:
+      u8   kind: 'd' dense | 'r' reduced
+      dense:   qmat W (in x 4n), qmat U (n x 4n), fvec b (4n)
+      reduced: per gate g in [i,f,c,o]: qmat wB_g, qmat wC_g (cols may be
+               0 at full rank); then per gate: qmat uB_g, qmat uC_g;
+               then fvec b (4n)
+    head: fvec w (n), f32 bias
+
+Gate order and column conventions match io/csv_weights.py so the same
+model round-trips through either artifact.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"SVDL8BIN"
+VERSION = 1
+
+
+def _q(mat: np.ndarray):
+    """Per-output-column symmetric int8 quantization (utils/quantize.py
+    scheme, reimplemented in numpy so export needs no device)."""
+    w = np.asarray(mat, np.float32)
+    if w.size == 0:
+        return np.zeros(w.shape, np.int8), np.zeros((w.shape[1],), np.float32)
+    scale = np.max(np.abs(w), axis=0) / 127.0
+    scale = np.where(scale > 0, scale, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def _write_qmat(f, mat: np.ndarray) -> None:
+    q, scale = _q(mat)
+    rows, cols = q.shape
+    f.write(struct.pack("<II", rows, cols))
+    f.write(scale.tobytes())
+    f.write(np.ascontiguousarray(q).tobytes())
+
+
+def _write_fvec(f, v: np.ndarray) -> None:
+    v = np.asarray(v, np.float32).reshape(-1)
+    f.write(struct.pack("<I", v.size))
+    f.write(v.tobytes())
+
+
+def save_model_int8_bin(params, path: str) -> int:
+    """Write a dense (StackedLSTMParams) or reduced (ReducedModelParams)
+    model as the int8 binary artifact. Returns the file size in bytes."""
+    from svd_lstm_tpu.models.lstm import StackedLSTMParams
+    from svd_lstm_tpu.models.reduced import ReducedModelParams
+
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<II", VERSION, len(params.layers)))
+        for layer in params.layers:
+            if isinstance(params, StackedLSTMParams):
+                f.write(b"d")
+                _write_qmat(f, np.asarray(layer.W))
+                _write_qmat(f, np.asarray(layer.U))
+                _write_fvec(f, np.asarray(layer.b))
+            elif isinstance(params, ReducedModelParams):
+                if not layer.split:
+                    raise ValueError(
+                        "int8 binary export supports split (per-gate) reduced "
+                        "layers — the native runtime's layout (io/native.py "
+                        "save_reduced_weights_as_csv has the same contract)"
+                    )
+                f.write(b"r")
+                for B, C in zip(layer.wB, layer.wC):
+                    _write_qmat(f, np.asarray(B))
+                    _write_qmat(f, np.asarray(C))
+                for B, C in zip(layer.uB, layer.uC):
+                    _write_qmat(f, np.asarray(B))
+                    _write_qmat(f, np.asarray(C))
+                _write_fvec(f, np.asarray(layer.b))
+            else:
+                raise TypeError(f"unsupported model params: {type(params)}")
+        _write_fvec(f, np.asarray(params.head.w).reshape(-1))
+        f.write(struct.pack("<f", float(np.asarray(params.head.b).reshape(-1)[0])))
+    import os
+
+    return os.path.getsize(path)
+
+
+def dequantized_params(params):
+    """The f32 model the int8 artifact actually encodes (quantize +
+    dequantize every matrix; biases/head exact) — the oracle the native
+    runtime must match."""
+    from svd_lstm_tpu.models.lstm import LSTMLayerParams, StackedLSTMParams
+    from svd_lstm_tpu.models.reduced import ReducedLayerParams, ReducedModelParams
+
+    def dq(mat):
+        q, scale = _q(np.asarray(mat))
+        return (q.astype(np.float32) * scale).astype(np.float32)
+
+    if isinstance(params, StackedLSTMParams):
+        layers = tuple(
+            LSTMLayerParams(W=dq(l.W), U=dq(l.U), b=np.asarray(l.b))
+            for l in params.layers
+        )
+        return StackedLSTMParams(layers=layers, head=params.head)
+    layers = tuple(
+        ReducedLayerParams(
+            wB=tuple(dq(B) for B in l.wB),
+            wC=tuple(dq(C) for C in l.wC),
+            uB=tuple(dq(B) for B in l.uB),
+            uC=tuple(dq(C) for C in l.uC),
+            b=np.asarray(l.b),
+        )
+        for l in params.layers
+    )
+    return ReducedModelParams(layers=layers, head=params.head)

@@ -35,6 +35,8 @@ def _load_lib():
     lib.svdlstm_load.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
     ]
+    lib.svdlstm_load_int8.restype = ctypes.c_void_p
+    lib.svdlstm_load_int8.argtypes = [ctypes.c_char_p]
     lib.svdlstm_step.restype = ctypes.c_float
     lib.svdlstm_step.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
@@ -67,6 +69,19 @@ class NativeModel:
         if not handle:
             raise RuntimeError(f"native runtime failed to load model from {base_dir}")
         self._h = handle
+
+    @classmethod
+    def from_int8(cls, path: str) -> "NativeModel":
+        """Load the int8 binary artifact (io/int8_export.py) — ~4x smaller
+        than the f32 CSV export; weights dequantize on load, streaming math
+        stays f32."""
+        self = cls.__new__(cls)
+        self._lib = _load_lib()
+        handle = self._lib.svdlstm_load_int8(path.encode())
+        if not handle:
+            raise RuntimeError(f"native runtime failed to load int8 artifact {path}")
+        self._h = handle
+        return self
 
     def reset(self) -> None:
         self._lib.svdlstm_reset(self._h)

@@ -79,6 +79,56 @@ def test_loads_reference_fixtures(reference_dir, rng):
     np.testing.assert_allclose(y, y_jax, atol=1e-4)
 
 
+def test_int8_artifact_dense_matches_dequantized_oracle(tmp_path, rng):
+    """int8 binary round-trip: the native runtime must reproduce the
+    dequantized-weights JAX forward (identical q*scale arithmetic on both
+    sides), NOT the original f32 model — quantization error belongs to the
+    artifact, not the runtime."""
+    import jax.numpy as jnp
+
+    from svd_lstm_tpu.io.int8_export import dequantized_params, save_model_int8_bin
+    from svd_lstm_tpu.io.native import NativeModel
+
+    params = init_stacked_lstm(jax.random.PRNGKey(11), input_dim=6, units=(10, 8))
+    path = str(tmp_path / "model_int8.bin")
+    nbytes = save_model_int8_bin(params, path)
+    # ~4x smaller than the f32 weights it encodes
+    f32_bytes = sum(np.asarray(l).size * 4 for layer in params.layers for l in layer)
+    assert nbytes < 0.45 * f32_bytes + 2048
+
+    nm = NativeModel.from_int8(path)
+    x = rng.normal(size=(25, 6)).astype(np.float32)
+    y_native = nm.run(x)
+
+    dq = dequantized_params(params)
+    y_oracle = np.asarray(stacked_lstm_apply(dq, jnp.asarray(x)[None]))[0, :, 0]
+    np.testing.assert_allclose(y_native, y_oracle, atol=1e-4)
+    # sanity: still close to the unquantized model (int8 roundoff only)
+    y_f32 = np.asarray(stacked_lstm_apply(params, jnp.asarray(x)[None]))[0, :, 0]
+    assert np.abs(y_native - y_f32).max() < 0.05
+
+
+def test_int8_artifact_reduced_matches_dequantized_oracle(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from svd_lstm_tpu.io.int8_export import dequantized_params, save_model_int8_bin
+    from svd_lstm_tpu.io.native import NativeModel
+    from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+
+    dense = init_stacked_lstm(jax.random.PRNGKey(12), input_dim=6, units=(8, 8))
+    red = make_reduced_model(make_singular_model(dense, merged_kernel=False), rank=5)
+    path = str(tmp_path / "reduced_int8.bin")
+    save_model_int8_bin(red, path)
+
+    nm = NativeModel.from_int8(path)
+    x = rng.normal(size=(20, 6)).astype(np.float32)
+    y_native = nm.run(x)
+
+    dq = dequantized_params(red)
+    y_oracle = np.asarray(reduced_lstm_apply(dq, jnp.asarray(x)[None]))[0, :, 0]
+    np.testing.assert_allclose(y_native, y_oracle, atol=1e-4)
+
+
 def test_mixed_kinds_native_matches_jax(tmp_path, rng):
     """The published deployment shape: dense outer layers, reduced middle
     (cells 2-3 reduced, slide 13) — per-layer kind string 'drrd'."""
