@@ -57,6 +57,12 @@ class TrainConfig:
     # wall-time on compute-bound training (see BENCH_NOTES.md); validation
     # metrics always run exact.
     matmul_precision: str = "float32"
+    # Run each lane-aligned (n % 128 == 0) layer's recurrence through the
+    # custom-VJP Pallas kernel pair (ops/pallas_train.py): VMEM-resident
+    # weights in both directions, bf16-pass dots like
+    # matmul_precision="bfloat16". Dense models only; narrow layers keep
+    # the XLA scan. See BENCH_NOTES for the measured train-step speedup.
+    recurrence_kernel: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

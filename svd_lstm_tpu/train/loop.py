@@ -81,6 +81,20 @@ def fit(
     # Fresh buffers: the jitted step donates its inputs, and donating the
     # caller's arrays would invalidate them outside this function.
     params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+    if cfg.recurrence_kernel and apply_fn is stacked_lstm_apply:
+        # custom-VJP Pallas recurrence (dense models; ops/pallas_train.py).
+        # Dots there are explicitly DEFAULT-precision, matching the
+        # matmul_precision="bfloat16" regime regardless of the scope below.
+        # Off-TPU the kernels run in interpret mode (slow but correct) so
+        # the flag stays testable on the CI CPU mesh.
+        from functools import partial as _partial
+
+        from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
+
+        apply_fn = _partial(
+            stacked_lstm_apply_fast_train,
+            interpret=jax.default_backend() == "cpu",
+        )
     if optimizer is None:
         optimizer = optax.adam(cfg.learning_rate)
     # init_opt_state lets multi-phase callers (e.g. pruning fine-tune)
