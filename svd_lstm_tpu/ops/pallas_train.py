@@ -323,6 +323,9 @@ def stacked_lstm_apply_fast_train(
     remote compiler — any one of the three alone is fine. The dispatch
     therefore is:
 
+    * **narrow stack** (every layer n <= 128, input dim <= 128 — the
+      reference's model zoo) — ONE fused whole-stack kernel per direction
+      (ops/pallas_train_fused.py), inter-layer projections in-kernel.
     * **uniform lane-aligned stack** (every layer the same n, n % 128 == 0)
       — ``lax.scan`` over stacked per-layer weights, whose body holds the
       ONE fwd kernel instance (and its transpose the one bwd instance).
@@ -334,8 +337,19 @@ def stacked_lstm_apply_fast_train(
 
     x_seq: (B, T, d) -> (B, T, out) / (B, out).
     """
-    h = jnp.swapaxes(x_seq, 0, 1)  # (T, B, d)
     units = [l.units for l in params.layers]
+    B, _, d_in = x_seq.shape
+    if all(u <= LANE for u in units) and d_in <= LANE and B % 8 == 0:
+        # narrow stack (the reference's own scale): ONE fused kernel per
+        # direction for the whole model — 5.42 ms/step vs the 7.65 bf16 /
+        # 9.32 f32 XLA scans at 4x40/B=512/T=200
+        # (scripts/probe_train_fused_narrow.py)
+        from svd_lstm_tpu.ops.pallas_train_fused import fused_narrow_train_apply
+
+        return fused_narrow_train_apply(
+            params, x_seq, return_sequences=return_sequences, interpret=interpret
+        )
+    h = jnp.swapaxes(x_seq, 0, 1)  # (T, B, d)
     n0 = units[0]
     uniform = (
         len(params.layers) >= 2

@@ -83,10 +83,12 @@ def test_fit_recurrence_kernel_config_flag(rng):
 
 
 def test_apply_fast_train_uniform_stack_scan_path(rng):
-    """Uniform lane-aligned stacks take the scan-over-layers path (one
-    kernel instance per direction; layer-1 zero-padding is exact)."""
-    params = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=6, units=(128, 128))
-    x = jnp.asarray(rng.normal(size=(8, 7, 6)).astype(np.float32))
+    """Uniform lane-aligned WIDE stacks (n > 128) take the scan-over-layers
+    path (one kernel instance per direction; layer-1 zero-padding is
+    exact). Narrow stacks route to the fused whole-stack kernel instead
+    (test below)."""
+    params = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=6, units=(256, 256))
+    x = jnp.asarray(rng.normal(size=(8, 5, 6)).astype(np.float32))
     y_ref = np.asarray(stacked_lstm_apply(params, x, return_sequences=True))
     y = np.asarray(stacked_lstm_apply_fast_train(params, x, interpret=True))
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
@@ -96,6 +98,34 @@ def test_apply_fast_train_uniform_stack_scan_path(rng):
 
     def loss_ref(p):
         return jnp.sum(stacked_lstm_apply(p, x, return_sequences=True) ** 2)
+
+    g = jax.grad(loss)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_apply_fast_train_narrow_fused_path(rng):
+    """Narrow stacks (all n <= 128) route to the fused whole-stack kernel
+    pair — forward exact, gradients parity with autodiff."""
+    params = init_stacked_lstm(
+        jax.random.PRNGKey(4), input_dim=6, units=(40, 30, 40)
+    )
+    x = jnp.asarray(rng.normal(size=(8, 6, 6)).astype(np.float32))
+    y_ref = np.asarray(stacked_lstm_apply(params, x, return_sequences=True))
+    y = np.asarray(stacked_lstm_apply_fast_train(params, x, interpret=True))
+    np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+    def loss(p):
+        return jnp.sum(
+            stacked_lstm_apply_fast_train(p, x, return_sequences=False, interpret=True)
+            ** 2
+        )
+
+    def loss_ref(p):
+        return jnp.sum(
+            stacked_lstm_apply(p, x, return_sequences=False) ** 2
+        )
 
     g = jax.grad(loss)(params)
     g_ref = jax.grad(loss_ref)(params)
