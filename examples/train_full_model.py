@@ -13,6 +13,7 @@ Usage:
 
 import argparse
 import os
+import time
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -25,6 +26,12 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default="./model_saves")
     ap.add_argument("--plots", default="./plots")
+    ap.add_argument(
+        "--kernel", action="store_true",
+        help="train through the fused whole-stack Pallas kernel pair "
+        "(TrainConfig.recurrence_kernel; 5.42 vs 9.17 ms/step at the "
+        "flagship scale, bf16-class gradients — BENCH_NOTES.md)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -41,15 +48,21 @@ def main():
         from svd_lstm_tpu.data.synthetic import synthetic_dropbear_raw
 
         ds = preprocess_raw(synthetic_dropbear_raw(duration=12.0), DataConfig(split_time=8.0))
-        tcfg = TrainConfig(num_windows=2048, window_len=100, epochs=3, batch_size=64)
+        tcfg = TrainConfig(
+            num_windows=2048, window_len=100, epochs=3, batch_size=64,
+            recurrence_kernel=args.kernel,
+        )
         units = (40, 40)
     else:
         ds = preprocess(DataConfig())
-        tcfg = TrainConfig()
+        tcfg = TrainConfig(recurrence_kernel=args.kernel)
         units = (40, 40, 40, 40)
 
     params = st.init_stacked_lstm(jax.random.PRNGKey(tcfg.seed), 16, units)
+    t0 = time.perf_counter()
     res = fit(params, ds.X_train, ds.y_train, tcfg, verbose=True)
+    print(f"training wall time: {time.perf_counter() - t0:.1f} s"
+          f" ({'fused-kernel' if args.kernel else 'XLA scan'} path)")
     print(f"rollbacks: {res.rollbacks}")
 
     pred = predict_full_run(res.params, ds.X)
