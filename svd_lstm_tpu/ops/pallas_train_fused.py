@@ -42,19 +42,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from svd_lstm_tpu.models.lstm import StackedLSTMParams
+from svd_lstm_tpu.ops.pallas_batched import LANE
 from svd_lstm_tpu.ops.pallas_lstm import _gates_p
 from svd_lstm_tpu.utils.linalg import pad_cols, pad_gate_cols
 
-LANE = 128
+DEF = jax.lax.Precision.DEFAULT
 
 
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-def _pack_layers(layers) -> Tuple[list, list, int]:
+def _pack_layers(layers) -> Tuple[list, list]:
     """Row-compact, gate-column-padded weights for every layer, plus the
-    per-layer live input widths. Returns (weights, in_dims, L)."""
+    per-layer live input widths. Returns (weights, in_dims)."""
     ws = []
     in_dims = []
     for l in layers:
@@ -64,7 +61,7 @@ def _pack_layers(layers) -> Tuple[list, list, int]:
         ws.append(pad_gate_cols(l.W.astype(jnp.float32), n, LANE))   # (d_in, 512)
         ws.append(pad_gate_cols(l.U.astype(jnp.float32), n, LANE))   # (n, 512)
         ws.append(pad_gate_cols(l.b.reshape(1, -1).astype(jnp.float32), n, LANE))
-    return ws, in_dims, len(layers)
+    return ws, in_dims
 
 
 def _fused_fwd(layers, x, interpret: bool):
@@ -76,7 +73,7 @@ def _fused_fwd(layers, x, interpret: bool):
     assert all(u <= LANE for u in units) and d <= LANE
     assert B % 8 == 0
     dp = LANE
-    weights, in_dims, _ = _pack_layers(layers)
+    weights, _ = _pack_layers(layers)
 
     x_p = pad_cols(x.reshape(T * B, d).astype(jnp.float32), dp)
 
@@ -95,10 +92,10 @@ def _fused_fwd(layers, x, interpret: bool):
             z = (
                 jnp.dot(inp, w_refs[3 * i][:],
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT)
+                        precision=DEF)
                 + jnp.dot(scr[2 * i][:, : units[i]], w_refs[3 * i + 1][:],
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.DEFAULT)
+                          precision=DEF)
                 + w_refs[3 * i + 2][:]
             )
             h, c = _gates_p(z, scr[2 * i + 1][:], LANE)
@@ -131,16 +128,13 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
     units = [l.units for l in layers]
     L = len(units)
     dp = LANE
-    weights, in_dims, _ = _pack_layers(layers)
-    # transposed weights (zero rows at padded gate lanes kill the padded-
-    # lane garbage in dz)
+    weights, in_dims = _pack_layers(layers)
+    # transposed weights, reusing the packed forms (their zero rows at
+    # padded gate lanes kill the padded-lane garbage in dz)
     wts = []
-    for i, l in enumerate(layers):
-        n = l.units
-        Wp = pad_gate_cols(l.W.astype(jnp.float32), n, LANE)  # (d_in, 512)
-        Up = pad_gate_cols(l.U.astype(jnp.float32), n, LANE)  # (n, 512)
-        wts.append(pad_cols(Wp.T, LANE))   # (512, 128) live cols [0, d_in)
-        wts.append(pad_cols(Up.T, LANE))   # (512, 128) live cols [0, n)
+    for i in range(L):
+        wts.append(pad_cols(weights[3 * i].T, LANE))      # W^T: live cols [0, d_in)
+        wts.append(pad_cols(weights[3 * i + 1].T, LANE))  # U^T: live cols [0, n)
 
     zeros = jnp.zeros((1, B, L * LANE), jnp.float32)
     h_prev = jnp.concatenate([zeros, h_all[:-1]], axis=0)
@@ -182,7 +176,7 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
                 # layer i+1's x-side: its input was h_i's live lanes
                 dh = dh + jnp.dot(dz_above, wt_refs[2 * (i + 1)][:],
                                   preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.DEFAULT)
+                                  precision=DEF)
             inp = (
                 x_ref[:, :d]
                 if i == 0
@@ -192,10 +186,10 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
             z = (
                 jnp.dot(inp, w_refs[3 * i][:],
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT)
+                        precision=DEF)
                 + jnp.dot(hp_ref[:, blk][:, :u], w_refs[3 * i + 1][:],
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.DEFAULT)
+                          precision=DEF)
                 + w_refs[3 * i + 2][:]
             )
             gi = jax.nn.sigmoid(z[:, :LANE])
@@ -218,12 +212,12 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
             # weight-grad accumulation (VMEM-resident)
             acc[3 * i][: in_dims[i], :] += jnp.dot(
                 inp.T, dz, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
+                precision=DEF,
             )
             acc[3 * i + 1][:u, :] += jnp.dot(
                 hp_ref[:, blk][:, :u].T, dz,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
+                precision=DEF,
             )
             acc[3 * i + 2][:] += jnp.broadcast_to(
                 jnp.sum(dz, axis=0, keepdims=True), (8, 4 * LANE)
@@ -231,14 +225,14 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
             # carries
             dh_scr[i][:] = jnp.dot(dz, wt_refs[2 * i + 1][:],
                                    preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.DEFAULT)
+                                   precision=DEF)
             dc_scr[i][:] = dc_tot * gf
             dz_above = dz
 
         # dx from layer 0's dz
         dx_ref[:] = jnp.dot(dz_above, wt_refs[0][:],
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.DEFAULT)
+                            precision=DEF)
 
         @pl.when(t == T - 1)
         def _():
@@ -319,7 +313,7 @@ def _make_fused_trainable(interpret: bool):
         for l in layers:
             xp = jnp.einsum(
                 "tbd,dg->tbg", h, l.W,
-                precision=jax.lax.Precision.DEFAULT,
+                precision=DEF,
             ) + l.b
             h = _fwd_scan_hc(xp, l.U)[0]
         return pad_cols(h.reshape(-1, h.shape[-1]), LANE).reshape(

@@ -131,3 +131,28 @@ def test_apply_fast_train_narrow_fused_path(rng):
     g_ref = jax.grad(loss_ref)(params)
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_fwd_kernel_matches_scan_directly(rng):
+    """_fused_fwd itself (not the custom_vjp primal, which runs XLA scans
+    outside differentiation) must reproduce the scan's states exactly."""
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+    from svd_lstm_tpu.ops.pallas_train_fused import _fused_fwd
+
+    params = init_stacked_lstm(jax.random.PRNGKey(5), input_dim=6, units=(40, 24))
+    x1 = jnp.asarray(
+        np.random.default_rng(3).normal(size=(5, 8, 6)).astype(np.float32)
+    )  # (T, B, d)
+    h_all, c_all = _fused_fwd(tuple(params.layers), x1, interpret=True)
+
+    h = jnp.swapaxes(x1, 0, 1)
+    for i, layer in enumerate(params.layers):
+        from svd_lstm_tpu.models.lstm import lstm_layer_apply
+
+        h = lstm_layer_apply(layer, h)
+        u = layer.units
+        np.testing.assert_allclose(
+            np.asarray(h_all[:, :, i * 128 : i * 128 + u]),
+            np.asarray(jnp.swapaxes(h, 0, 1)),
+            atol=1e-5,
+        )
