@@ -63,7 +63,11 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
     module docstring for measured speed/accuracy trade-offs). 'fast'
     applies to both batched input (bf16 x-side + VMEM-resident Pallas
     recurrence) and batch-1 kernels (relaxed single-pass dots); 'high' is
-    batched-only (batch-1 'high' runs the exact path).
+    batched-only (batch-1 'high' runs the exact path). Batch-1 'fast' only
+    reaches the kernel routes: with impl='scan' (or off-TPU under
+    impl='auto') the relaxed-dot flag has no carrier and the exact f32
+    scan runs — intentional, matching the batched impl='scan' escape
+    hatch's exact semantics rather than silently changing numerics.
     """
     from svd_lstm_tpu.utils.precision import cast_params, matmul_scope
 

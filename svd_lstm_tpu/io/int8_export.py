@@ -118,6 +118,16 @@ def dequantized_params(params):
             for l in params.layers
         )
         return StackedLSTMParams(layers=layers, head=params.head)
+    # mirror the exporter's contract: merged reduced layers hold single 2-D
+    # B/C arrays, and iterating them below would quantize per ROW and
+    # return a structurally wrong pytree
+    for l in params.layers:
+        if not l.split:
+            raise ValueError(
+                "dequantized_params supports split (per-gate) reduced layers "
+                "only — the int8 artifact layout (save_model_int8_bin has "
+                "the same contract)"
+            )
     layers = tuple(
         ReducedLayerParams(
             wB=tuple(dq(B) for B in l.wB),

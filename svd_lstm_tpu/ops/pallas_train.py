@@ -355,6 +355,10 @@ def stacked_lstm_apply_fast_train(
         len(params.layers) >= 2
         and all(u == n0 for u in units)
         and n0 % LANE == 0
+        # layer 1's W is zero-row-padded UP to the stack width below, so
+        # d > n0 can't stack with the other layers' (n0, 4n0) weights —
+        # route those to the per-layer/scan fallback
+        and x_seq.shape[-1] <= n0
     )
     if uniform:
         T, B, d = h.shape

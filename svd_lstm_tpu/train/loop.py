@@ -81,6 +81,10 @@ def fit(
     # Fresh buffers: the jitted step donates its inputs, and donating the
     # caller's arrays would invalidate them outside this function.
     params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+    # Validation metrics always run exact (config.py invariant): keep the
+    # pre-swap apply_fn for val_fn — recurrence_kernel relaxes only the
+    # training step's dots, like matmul_precision does.
+    exact_apply_fn = apply_fn
     if cfg.recurrence_kernel and apply_fn is stacked_lstm_apply:
         # custom-VJP Pallas recurrence (dense models; ops/pallas_train.py).
         # Dots there are explicitly DEFAULT-precision, matching the
@@ -98,9 +102,11 @@ def fit(
     if optimizer is None:
         optimizer = optax.adam(cfg.learning_rate)
     # init_opt_state lets multi-phase callers (e.g. pruning fine-tune)
-    # carry adam moments across phases instead of resetting them
+    # carry adam moments across phases instead of resetting them. Copied
+    # for the same reason params are: the jitted step donates its inputs,
+    # and donating the caller's buffers would invalidate them outside here.
     opt_state = (
-        jax.tree.map(jnp.asarray, init_opt_state)
+        jax.tree.map(lambda a: jnp.array(a, copy=True), init_opt_state)
         if init_opt_state is not None
         else optimizer.init(params)
     )
@@ -165,7 +171,7 @@ def fit(
         yv = jnp.asarray(np.asarray(validation[1]).reshape(1, -1))
         val_fn = jax.jit(
             lambda p: jnp.mean(
-                jnp.square(apply_fn(p, Xv, return_sequences=True)[..., 0] - yv)
+                jnp.square(exact_apply_fn(p, Xv, return_sequences=True)[..., 0] - yv)
             )
         )
 

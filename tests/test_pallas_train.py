@@ -156,3 +156,14 @@ def test_fused_fwd_kernel_matches_scan_directly(rng):
             np.asarray(jnp.swapaxes(h, 0, 1)),
             atol=1e-5,
         )
+
+
+def test_apply_fast_train_uniform_stack_wide_input_fallback(rng):
+    """Uniform lane-aligned stack with input_dim > n0 can't stack layer-1's
+    W with the others — it must fall back to the XLA scan (ADVICE r2) and
+    still match the exact forward."""
+    params = init_stacked_lstm(jax.random.PRNGKey(4), input_dim=200, units=(128, 128))
+    x = jnp.asarray(rng.normal(size=(8, 4, 200)).astype(np.float32))
+    y_ref = np.asarray(stacked_lstm_apply(params, x, return_sequences=True))
+    y = np.asarray(stacked_lstm_apply_fast_train(params, x, interpret=True))
+    np.testing.assert_allclose(y, y_ref, atol=1e-5)

@@ -95,3 +95,18 @@ def test_quantize_params_idempotent():
     assert not isinstance(qq.layers[0].W.scale, QuantizedTensor)
     for a, b in zip(jax.tree.leaves(q), jax.tree.leaves(qq)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dequantized_params_rejects_merged_reduced(rng):
+    """dequantized_params mirrors the int8 exporter's split-only contract:
+    a merged reduced model must raise, not silently quantize per row
+    (ADVICE r2)."""
+    import pytest
+
+    from svd_lstm_tpu.io.int8_export import dequantized_params
+
+    params = init_stacked_lstm(jax.random.PRNGKey(7), input_dim=8, units=(12,))
+    s = st.make_singular_model(params, merged_kernel=True)
+    r = st.make_reduced_model(s, rank=8)
+    with pytest.raises(ValueError, match="split"):
+        dequantized_params(r)
