@@ -57,11 +57,14 @@ class TrainConfig:
     # wall-time on compute-bound training (see BENCH_NOTES.md); validation
     # metrics always run exact.
     matmul_precision: str = "float32"
-    # Run each lane-aligned (n % 128 == 0) layer's recurrence through the
-    # custom-VJP Pallas kernel pair (ops/pallas_train.py): VMEM-resident
-    # weights in both directions, bf16-pass dots like
-    # matmul_precision="bfloat16". Dense models only; narrow layers keep
-    # the XLA scan. See BENCH_NOTES for the measured train-step speedup.
+    # Run the training recurrences through the custom-VJP Pallas kernel
+    # engine (ops/pallas_train.py): narrow stacks (the reference's scale)
+    # use ONE fused whole-model kernel per direction, wide lane-aligned
+    # layers the per-layer VMEM-resident pair; dots are bf16-pass like
+    # matmul_precision="bfloat16". Applies to dense training AND the
+    # singular fine-tune (via the differentiable dense reconstruction in
+    # ops/singular_train.py); dropout fine-tunes keep the XLA scan. See
+    # BENCH_NOTES for the measured train-step speedups.
     recurrence_kernel: bool = False
 
 

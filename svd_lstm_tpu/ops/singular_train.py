@@ -1,0 +1,110 @@
+"""Kernel-accelerated training path for the SVD-factorized (singular) model.
+
+The reference's central compression stage is a 10-epoch fine-tune of the
+factorized model (reference code/svd_acceleration_v3.py:119-128). Round 2
+left it on the exact XLA scan; this module routes it through the SAME
+fused Pallas training kernels the dense trainer uses
+(ops/pallas_train.py / ops/pallas_train_fused.py), with exact gradients
+for every factor:
+
+    W = (U_w · diag(σ_w)) · V_wᵀ   (per matrix, or per gate when split)
+
+is *linear* in each factor, so reconstructing the dense weights inside
+the traced step and differentiating through the reconstruction gives the
+exact chain-rule cotangents
+
+    dσ = diag(U_wᵀ · dW · V_w),   dU_w = dW · V_w · diag(σ),
+    dV_wᵀ = diag(σ) · U_wᵀ · dW
+
+automatically — the custom-VJP kernels supply dW/dU/db and XLA autodiff
+closes the (tiny, once-per-step) reconstruction chain. No factored
+recurrence kernel is needed: the reconstruction costs two (d×d)@(d×4n)
+dots per layer per step, ~1e-3 of the T=200-step recurrence work, and the
+recurrence itself runs at the measured dense-kernel speed (5.42 ms/step
+at 4x40/B=512 vs 9.32 f32 scan — BENCH_NOTES §train-kernels).
+
+Reconstruction dots run at HIGHEST precision: their product *is* the
+model's weight matrix, so a bf16 pass here would perturb the weights
+themselves rather than relax an activation pass (the kernel's activation
+dots stay DEFAULT-precision, the ``matmul_precision="bfloat16"`` training
+regime this path belongs to).
+
+The σ-only trainable masking stays in the optimizer
+(train/finetune.py `make_finetune_optimizer`) — gradients are computed
+for every factor and zeroed by the mask, exactly as on the scan path.
+
+Dropout fine-tunes keep the XLA scan: the per-gate mask semantics
+(reference code/svd_classes_v3.py:121-137) need the factored forward.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from svd_lstm_tpu.models.lstm import LSTMLayerParams, StackedLSTMParams
+from svd_lstm_tpu.models.singular import SingularModelParams
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _dense_matrix(left, sigma, right):
+    """(left · diag(sigma)) · right, merged (2-D) or per-gate (3-D stacked).
+
+    merged: left (d, k), sigma (k,), right (k, 4n) -> (d, 4n)
+    split:  left (4, d, k), sigma (4, k), right (4, k, n) -> (d, 4n)
+            with gate blocks [i|f|c|o] concatenated along columns, matching
+            the Keras layout models/lstm.py stores (reference
+            code/svd_classes_v3.py:146-232 keeps per-gate factors).
+    """
+    if left.ndim == 3:
+        scaled = left * sigma[:, None, :]                      # (4, d, k)
+        per_gate = jnp.einsum("gdk,gkn->gdn", scaled, right,
+                              precision=HIGHEST)               # (4, d, n)
+        d = per_gate.shape[1]
+        return jnp.transpose(per_gate, (1, 0, 2)).reshape(d, -1)
+    return jnp.dot(left * sigma, right, precision=HIGHEST)
+
+
+def singular_dense_view(sparams: SingularModelParams) -> StackedLSTMParams:
+    """Traced, differentiable dense reconstruction of a singular model.
+
+    Unlike ``factor.svd.singular_to_dense`` (numpy, host-side, for export),
+    this stays in jnp so gradients flow from the dense kernels' dW/dU back
+    to (wl, ws, wr, ul, us, ur) — the factored-training replacement for the
+    reference's per-weight ``trainable`` flags
+    (reference code/svd_classes_v3.py:51-112).
+    """
+    layers = tuple(
+        LSTMLayerParams(
+            W=_dense_matrix(p.wl, p.ws, p.wr),
+            U=_dense_matrix(p.ul, p.us, p.ur),
+            b=p.b,
+        )
+        for p in sparams.layers
+    )
+    return StackedLSTMParams(layers=layers, head=sparams.head)
+
+
+def singular_lstm_apply_fast_train(
+    sparams: SingularModelParams,
+    x_seq: jax.Array,
+    return_sequences: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in ``apply_fn`` for ``train.loop.fit`` running the singular
+    fine-tune through the fused dense training kernels.
+
+    Replaces the reference fine-tune stage's compute
+    (code/svd_acceleration_v3.py:119-128) at kernel speed; gradient parity
+    with autodiff of ``singular_lstm_apply`` is asserted in
+    tests/test_singular_train_kernel.py.
+    """
+    from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
+
+    return stacked_lstm_apply_fast_train(
+        singular_dense_view(sparams),
+        x_seq,
+        return_sequences=return_sequences,
+        interpret=interpret,
+    )

@@ -85,20 +85,38 @@ def fit(
     # pre-swap apply_fn for val_fn — recurrence_kernel relaxes only the
     # training step's dots, like matmul_precision does.
     exact_apply_fn = apply_fn
-    if cfg.recurrence_kernel and apply_fn is stacked_lstm_apply:
-        # custom-VJP Pallas recurrence (dense models; ops/pallas_train.py).
-        # Dots there are explicitly DEFAULT-precision, matching the
+    if cfg.recurrence_kernel:
+        # custom-VJP Pallas recurrence (ops/pallas_train.py). Dots there
+        # are explicitly DEFAULT-precision, matching the
         # matmul_precision="bfloat16" regime regardless of the scope below.
         # Off-TPU the kernels run in interpret mode (slow but correct) so
-        # the flag stays testable on the CI CPU mesh.
+        # the flag stays testable on the CI CPU mesh. The singular
+        # fine-tune (reference code/svd_acceleration_v3.py:119-128) runs
+        # through the same kernels via a differentiable dense
+        # reconstruction (ops/singular_train.py); dropout fine-tunes keep
+        # the scan (apply_fn is then a wrapper, not singular_lstm_apply).
         from functools import partial as _partial
 
-        from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
+        from svd_lstm_tpu.models.singular import singular_lstm_apply
 
-        apply_fn = _partial(
-            stacked_lstm_apply_fast_train,
-            interpret=jax.default_backend() == "cpu",
-        )
+        if apply_fn is stacked_lstm_apply:
+            from svd_lstm_tpu.ops.pallas_train import (
+                stacked_lstm_apply_fast_train,
+            )
+
+            apply_fn = _partial(
+                stacked_lstm_apply_fast_train,
+                interpret=jax.default_backend() == "cpu",
+            )
+        elif apply_fn is singular_lstm_apply:
+            from svd_lstm_tpu.ops.singular_train import (
+                singular_lstm_apply_fast_train,
+            )
+
+            apply_fn = _partial(
+                singular_lstm_apply_fast_train,
+                interpret=jax.default_backend() == "cpu",
+            )
     if optimizer is None:
         optimizer = optax.adam(cfg.learning_rate)
     # init_opt_state lets multi-phase callers (e.g. pruning fine-tune)
