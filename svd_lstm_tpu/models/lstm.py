@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from svd_lstm_tpu.utils.linalg import zeros_varying_like
+
 
 class LSTMLayerParams(NamedTuple):
     W: jax.Array  # (input_dim, 4*units)  [i|f|c|o]
@@ -100,9 +102,9 @@ def lstm_layer_apply(
     n = params.units
     dtype = x_seq.dtype
     if h0 is None:
-        h0 = jnp.zeros((B, n), dtype)
+        h0 = zeros_varying_like(x_seq, (B, n), dtype)
     if c0 is None:
-        c0 = jnp.zeros((B, n), dtype)
+        c0 = zeros_varying_like(x_seq, (B, n), dtype)
 
     use_dp = dropout > 0.0
     use_rdp = recurrent_dropout > 0.0

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from svd_lstm_tpu.models.lstm import DenseParams, gate_update
+from svd_lstm_tpu.utils.linalg import zeros_varying_like
 
 
 class ReducedLayerParams(NamedTuple):
@@ -105,9 +106,9 @@ def reduced_layer_apply(
     n = p.units
     dtype = x_seq.dtype
     if h0 is None:
-        h0 = jnp.zeros((B_, n), dtype)
+        h0 = zeros_varying_like(x_seq, (B_, n), dtype)
     if c0 is None:
-        c0 = jnp.zeros((B_, n), dtype)
+        c0 = zeros_varying_like(x_seq, (B_, n), dtype)
 
     xp = reduced_projection(p, x_seq, "w") + p.b
     xp_t = jnp.swapaxes(xp, 0, 1)

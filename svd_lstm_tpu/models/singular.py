@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from svd_lstm_tpu.models.lstm import DenseParams, gate_update
+from svd_lstm_tpu.utils.linalg import zeros_varying_like
 
 
 class SingularLayerParams(NamedTuple):
@@ -140,9 +141,9 @@ def singular_layer_apply(
     n = p.units
     dtype = x_seq.dtype
     if h0 is None:
-        h0 = jnp.zeros((B, n), dtype)
+        h0 = zeros_varying_like(x_seq, (B, n), dtype)
     if c0 is None:
-        c0 = jnp.zeros((B, n), dtype)
+        c0 = zeros_varying_like(x_seq, (B, n), dtype)
 
     use_dp = dropout > 0.0
     use_rdp = recurrent_dropout > 0.0

@@ -6,6 +6,23 @@ import jax
 import jax.numpy as jnp
 
 
+def zeros_varying_like(ref, shape, dtype) -> jax.Array:
+    """``jnp.zeros(shape, dtype)`` carrying the same varying-manual-axes
+    (vma) type as ``ref``.
+
+    Inside a ``shard_map(..., check_vma=True)`` region, a scan whose
+    outputs depend on sharded inputs must start from a carry that is
+    *typed* as varying over the same mesh axes — a plain ``jnp.zeros`` is
+    unvarying and fails the static check. Outside shard_map (or with the
+    check off) this is exactly ``jnp.zeros``.
+    """
+    z = jnp.zeros(shape, dtype)
+    vma = getattr(getattr(ref, "aval", None), "vma", None)
+    if vma:
+        z = jax.lax.pcast(z, tuple(vma), to="varying")
+    return z
+
+
 def pad_rows(M: jax.Array, rows: int) -> jax.Array:
     out = jnp.zeros((rows, M.shape[1]), M.dtype)
     return out.at[: M.shape[0]].set(M)

@@ -54,3 +54,15 @@ def test_dryrun_multichip_driver_environment():
     )
     assert res.returncode == 0, f"stderr tail:\n{res.stderr[-3000:]}"
     assert "dryrun_multichip OK" in res.stdout
+    # round-3 pipeline sub-checks (VERDICT r2 next #3/#8): every stage of
+    # the sharded compression chain parity-checked, plus tp=4 and the
+    # odd-device-count fallback
+    for line in (
+        "check dense_dp4xtp2_parity: OK",
+        "check dense_dp2xtp4_parity: OK",
+        "check dense_dp3xtp1_odd_fallback_parity: OK",
+        "check singular_finetune_dp_parity: OK",
+        "check reduced_batched_dp_parity: OK",
+        "check pallas_fast_shardmap_parity: OK",
+    ):
+        assert line in res.stdout, f"missing sub-check: {line}"
