@@ -106,7 +106,13 @@ struct GatePair {        // two-step factors for one gate: z = [vB, (vB)C]
 };
 
 struct Layer {
-  bool reduced = false;
+  // Per-SIDE execution dispatch (VERDICT r2 weak #4): a reduced export
+  // whose rank can't pay for the two-step's irregular small GEMVs is
+  // reconstructed to dense AT LOAD (exactly the TPU side's layout rule,
+  // ops/layouts.py: store compressed, execute dense when the two-step
+  // loses). Measured crossover: r/n = 0.4 wins (0.92x), 0.5 loses
+  // (1.18x) — see BENCH_NOTES §native.
+  bool w_reduced = false, u_reduced = false;
   // dense: all four gates concatenated column-wise — ONE GEMV per side
   // with a 4n-wide inner loop instead of four n-wide ones (vectorizes and
   // amortizes the row loop; same packed-gate idea as the TPU kernels).
@@ -146,6 +152,82 @@ struct Model {
   float head_b = 0.0f;
 };
 
+// Does the exact two-step pay for this side's ranks? Measured crossover
+// on this runtime (BENCH_NOTES §native, 4x40/4x30): r/n = 0.4 steps at
+// 0.92x dense, r/n = 0.5 at 1.18x, r/n = 0.625 at 1.41x — the FLOP
+// saving is eaten by irregular small GEMVs well before r = n. Keep the
+// factored path only below r/n ~ 0.45.
+bool two_step_pays(const FlatMat B[4], int n) {
+  int sum_r = 0;
+  for (int g = 0; g < 4; ++g) sum_r += B[g].cols;
+  return sum_r * 20 < 9 * 4 * n;  // mean(r_g)/n < 0.45
+}
+
+// Dense gate matrix from the two-step factors: D = [B | B·C] (rows x n),
+// exactly the matrix the factors reconstruct (reference two-step
+// semantics, old_versions/svd_classes.py:45-101). C may be stored
+// transposed (dot form).
+FlatMat densify_gate(const FlatMat& B, const FlatMat& C, bool Cdot, int n) {
+  FlatMat D;
+  D.rows = B.rows;
+  D.cols = n;
+  D.d.assign(static_cast<size_t>(D.rows) * n, 0.0f);
+  const int r = B.cols;
+  const int m = n - r;
+  for (int i = 0; i < D.rows; ++i) {
+    const float* brow = &B.d[static_cast<size_t>(i) * r];
+    float* drow = &D.d[static_cast<size_t>(i) * n];
+    std::memcpy(drow, brow, sizeof(float) * r);
+    if (C.empty() || m <= 0) continue;
+    if (Cdot) {  // C stored (m x r): column j of effective C is row j
+      for (int j = 0; j < m; ++j) {
+        const float* crow = &C.d[static_cast<size_t>(j) * r];
+        float acc = 0.0f;
+        for (int k = 0; k < r; ++k) acc += brow[k] * crow[k];
+        drow[r + j] = acc;
+      }
+    } else {  // C stored (r x m)
+      for (int k = 0; k < r; ++k) {
+        const float bik = brow[k];
+        const float* crow = &C.d[static_cast<size_t>(k) * m];
+        for (int j = 0; j < m; ++j) drow[r + j] += bik * crow[j];
+      }
+    }
+  }
+  return D;
+}
+
+// Finalize a reduced layer's two sides: pack the factored form where the
+// two-step pays (or is forced), reconstruct to a dense cat where it
+// can't — so a consumer loading a shallow-rank export never steps slower
+// than dense (the TPU layout rule, ops/layouts.py, mirrored).
+void finalize_reduced_sides(Layer* L, FlatMat wB[4], FlatMat uB[4],
+                            bool force_two_step) {
+  const int n = uB[0].rows;
+  L->units = n;
+  L->w_reduced = force_two_step || two_step_pays(wB, n);
+  L->u_reduced = force_two_step || two_step_pays(uB, n);
+  int offs[4];
+  if (L->w_reduced) {
+    L->wBcat = cat_cols(wB, 4, L->wOff);
+  } else {
+    FlatMat Dg[4];
+    for (int g = 0; g < 4; ++g)
+      Dg[g] = densify_gate(wB[g], L->wC[g], L->wCdot[g], n);
+    L->Wcat = cat_cols(Dg, 4, offs);
+    for (int g = 0; g < 4; ++g) L->wC[g] = FlatMat();
+  }
+  if (L->u_reduced) {
+    L->uBcat = cat_cols(uB, 4, L->uOff);
+  } else {
+    FlatMat Dg[4];
+    for (int g = 0; g < 4; ++g)
+      Dg[g] = densify_gate(uB[g], L->uC[g], L->uCdot[g], n);
+    L->Ucat = cat_cols(Dg, 4, offs);
+    for (int g = 0; g < 4; ++g) L->uC[g] = FlatMat();
+  }
+}
+
 const char* kGates = "ifco";
 
 bool load_dense_layer(const std::string& dir, Layer* L, bool transposed) {
@@ -177,11 +259,11 @@ bool load_dense_layer(const std::string& dir, Layer* L, bool transposed) {
   L->Ucat = cat_cols(Ug, 4, offs);
   L->bcat = std::move(bs);
   L->units = L->Ucat.rows;  // U is (n x n)
-  L->reduced = false;
+  L->w_reduced = L->u_reduced = false;
   return true;
 }
 
-bool load_reduced_layer(const std::string& dir, Layer* L) {
+bool load_reduced_layer(const std::string& dir, Layer* L, bool force_two_step) {
   FlatMat wB[4], uB[4];
   std::vector<float> bs;
   for (int g = 0; g < 4; ++g) {
@@ -214,11 +296,8 @@ bool load_reduced_layer(const std::string& dir, Layer* L) {
     for (auto& row : b)
       for (float v : row) bs.push_back(v);
   }
-  L->wBcat = cat_cols(wB, 4, L->wOff);
-  L->uBcat = cat_cols(uB, 4, L->uOff);
   L->bcat = std::move(bs);
-  L->units = L->uBcat.rows;  // uB is (n x r)
-  L->reduced = true;
+  finalize_reduced_sides(L, wB, uB, force_two_step);
   return true;
 }
 
@@ -247,13 +326,10 @@ void layer_step(Layer& L, const float* x) {
   const int n = L.units;
   float* zg = L.zg.data();
   std::memcpy(zg, L.bcat.data(), sizeof(float) * 4 * n);
-  if (L.reduced) {
-    two_step_side(L, x, L.wBcat, L.wOff, L.wC, L.wCdot, zg);
-    two_step_side(L, L.h.data(), L.uBcat, L.uOff, L.uC, L.uCdot, zg);
-  } else {
-    accum_xTM(x, L.Wcat, zg);
-    accum_xTM(L.h.data(), L.Ucat, zg);
-  }
+  if (L.w_reduced) two_step_side(L, x, L.wBcat, L.wOff, L.wC, L.wCdot, zg);
+  else accum_xTM(x, L.Wcat, zg);
+  if (L.u_reduced) two_step_side(L, L.h.data(), L.uBcat, L.uOff, L.uC, L.uCdot, zg);
+  else accum_xTM(L.h.data(), L.Ucat, zg);
   for (int j = 0; j < n; ++j) {
     const float i = sigmoidf(zg[0 * n + j]);
     const float f = sigmoidf(zg[1 * n + j]);
@@ -310,7 +386,8 @@ void place_C(FlatMat&& C, FlatMat* slot, bool* dot) {
   *slot = *dot ? transpose(C) : std::move(C);
 }
 
-bool load_int8_model(const std::string& path, Model* m) {
+bool load_int8_model(const std::string& path, Model* m,
+                     bool force_two_step) {
   FILE* f = std::fopen(path.c_str(), "rb");
   if (!f) return false;
   char magic[8];
@@ -325,7 +402,7 @@ bool load_int8_model(const std::string& path, Model* m) {
     if (kind == 'd') {
       ok = read_qmat(f, &L.Wcat) && read_qmat(f, &L.Ucat) && read_fvec(f, &L.bcat);
       L.units = L.Ucat.rows;
-      L.reduced = false;
+      L.w_reduced = L.u_reduced = false;
     } else if (kind == 'r') {
       FlatMat wB[4], uB[4];
       for (int g = 0; ok && g < 4; ++g) {
@@ -339,12 +416,7 @@ bool load_int8_model(const std::string& path, Model* m) {
         if (ok) place_C(std::move(C), &L.uC[g], &L.uCdot[g]);
       }
       ok = ok && read_fvec(f, &L.bcat);
-      if (ok) {
-        L.wBcat = cat_cols(wB, 4, L.wOff);
-        L.uBcat = cat_cols(uB, 4, L.uOff);
-        L.units = L.uBcat.rows;
-        L.reduced = true;
-      }
+      if (ok) finalize_reduced_sides(&L, wB, uB, force_two_step);
     } else {
       ok = false;
     }
@@ -371,7 +443,10 @@ bool load_int8_model(const std::string& path, Model* m) {
 extern "C" {
 
 // dirs: colon-separated layer directories, then dense_top dir.
-// kind per layer: 'd' dense, 'r' reduced (string, one char per layer).
+// kind per layer (string, one char per layer): 'd' dense; 'r' reduced
+// with load-time execution dispatch (sides whose ranks can't pay for the
+// exact two-step are reconstructed to dense — never slower than dense);
+// 'R' reduced, two-step FORCED on both sides (benchmarking/debugging).
 void* svdlstm_load(const char* base, const char* layer_dirs,
                    const char* kinds, int transposed) {
   auto* m = new Model();
@@ -383,8 +458,10 @@ void* svdlstm_load(const char* base, const char* layer_dirs,
     std::string d = basedir + "/" +
         dirs.substr(pos, next == std::string::npos ? next : next - pos);
     Layer L;
-    bool ok = (kindstr[li] == 'r') ? load_reduced_layer(d, &L)
-                                   : load_dense_layer(d, &L, transposed != 0);
+    const char k = kindstr[li];
+    bool ok = (k == 'r' || k == 'R')
+                  ? load_reduced_layer(d, &L, k == 'R')
+                  : load_dense_layer(d, &L, transposed != 0);
     if (!ok) {
       delete m;
       return nullptr;
@@ -410,13 +487,33 @@ void* svdlstm_load(const char* base, const char* layer_dirs,
 }
 
 // Load the int8 binary artifact (io/int8_export.py writes it).
-void* svdlstm_load_int8(const char* path) {
+// force_two_step != 0 disables the load-time dense-reconstruction
+// dispatch (benchmarking/debugging the raw factored path).
+void* svdlstm_load_int8_ex(const char* path, int force_two_step) {
   auto* m = new Model();
-  if (!load_int8_model(path, m)) {
+  if (!load_int8_model(path, m, force_two_step != 0)) {
     delete m;
     return nullptr;
   }
   return m;
+}
+
+void* svdlstm_load_int8(const char* path) {
+  return svdlstm_load_int8_ex(path, 0);
+}
+
+// Introspect layer `li`'s chosen execution paths: fills {w_reduced,
+// u_reduced, units}. Returns 0 on bad index. Lets tests/benchmarks
+// verify what the load-time dispatch decided.
+int svdlstm_layer_info(void* handle, int li, int* w_reduced, int* u_reduced,
+                       int* units) {
+  auto* m = static_cast<Model*>(handle);
+  if (li < 0 || li >= static_cast<int>(m->layers.size())) return 0;
+  const Layer& L = m->layers[li];
+  if (w_reduced) *w_reduced = L.w_reduced ? 1 : 0;
+  if (u_reduced) *u_reduced = L.u_reduced ? 1 : 0;
+  if (units) *units = L.units;
+  return 1;
 }
 
 void svdlstm_reset(void* handle) {

@@ -75,10 +75,17 @@ def main():
         rmodel = make_reduced_model(smodel, rank=r)
         with tempfile.TemporaryDirectory() as td:
             save_reduced_weights_as_csv(rmodel, td)
-            nm = NativeModel(td, layer_dirs, "r" * len(UNITS))
-            t_red = best_us_per_step(nm, frames)
-        print(f"native reduced r={r:2d}:     {t_red:7.2f} us/step "
-              f"ratio {t_red / t_dense:.3f} (reference python got 1.31-1.39)")
+            # 'R' = raw two-step forced; 'r' = load-time dispatch
+            # (reconstruct-to-dense where the two-step can't pay)
+            t_raw = best_us_per_step(
+                NativeModel(td, layer_dirs, "R" * len(UNITS)), frames
+            )
+            t_red = best_us_per_step(
+                NativeModel(td, layer_dirs, "r" * len(UNITS)), frames
+            )
+        print(f"native reduced r={r:2d}:     raw {t_raw:6.2f} "
+              f"(ratio {t_raw / t_dense:.3f}) | dispatched {t_red:6.2f} "
+              f"(ratio {t_red / t_dense:.3f})  [reference python: 1.31-1.39]")
 
     # The PUBLISHED timing configuration (slide 15 / plots/timing_plot.png):
     # 4x30 model, cells 2-3 reduced, k=15 -> r=15. The reference's Python
@@ -95,10 +102,12 @@ def main():
         dirs_dense = [f"dense/lstm_{i}" for i in range(4)]
         dirs_mixed = ["dense/lstm_0", "red/lstm_1", "red/lstm_2", "dense/lstm_3"]
         t_pub_dense = best_us_per_step(NativeModel(td, dirs_dense, "dddd"), frames)
+        t_pub_raw = best_us_per_step(NativeModel(td, dirs_mixed, "dRRd"), frames)
         t_pub_mixed = best_us_per_step(NativeModel(td, dirs_mixed, "drrd"), frames)
     print(f"published config 4x30:  {t_pub_dense:7.2f} us/step dense | "
-          f"{t_pub_mixed:7.2f} us/step cells 2-3 reduced k=15 | "
-          f"ratio {t_pub_mixed / t_pub_dense:.3f} (reference: 1.31-1.39)")
+          f"raw two-step {t_pub_raw:6.2f} (ratio {t_pub_raw / t_pub_dense:.3f}) | "
+          f"dispatched {t_pub_mixed:6.2f} (ratio {t_pub_mixed / t_pub_dense:.3f}) "
+          f"(reference: 1.31-1.39)")
 
 
 if __name__ == "__main__":

@@ -23,9 +23,14 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libsvdlstm.so")
 
 
 def build_native(force: bool = False) -> str:
-    """Build libsvdlstm.so if needed; returns its path."""
-    if force or not os.path.exists(_LIB_PATH):
+    """Build libsvdlstm.so; returns its path. Always runs make — it is a
+    no-op when the .so is newer than the source, and skipping it can load
+    a stale library after a runtime change."""
+    try:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        if force or not os.path.exists(_LIB_PATH):
+            raise
     return _LIB_PATH
 
 
@@ -37,6 +42,8 @@ def _load_lib():
     ]
     lib.svdlstm_load_int8.restype = ctypes.c_void_p
     lib.svdlstm_load_int8.argtypes = [ctypes.c_char_p]
+    lib.svdlstm_load_int8_ex.restype = ctypes.c_void_p
+    lib.svdlstm_load_int8_ex.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.svdlstm_step.restype = ctypes.c_float
     lib.svdlstm_step.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
@@ -48,6 +55,12 @@ def _load_lib():
     ]
     lib.svdlstm_reset.argtypes = [ctypes.c_void_p]
     lib.svdlstm_free.argtypes = [ctypes.c_void_p]
+    lib.svdlstm_layer_info.restype = ctypes.c_int
+    lib.svdlstm_layer_info.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     return lib
 
 
@@ -58,7 +71,13 @@ class NativeModel:
         self,
         base_dir: str,
         layer_dirs: Sequence[str],
-        kinds: str,                 # 'd' dense / 'r' reduced, one per layer
+        # one char per layer: 'd' dense; 'r' reduced with load-time
+        # execution dispatch (a side whose rank can't pay for the exact
+        # two-step is reconstructed to dense — the consumer never steps
+        # slower than dense, mirroring the TPU layout rule in
+        # ops/layouts.py); 'R' reduced with the two-step FORCED (for
+        # benchmarking the raw factored path)
+        kinds: str,
         transposed: bool = False,
     ):
         self._lib = _load_lib()
@@ -71,17 +90,34 @@ class NativeModel:
         self._h = handle
 
     @classmethod
-    def from_int8(cls, path: str) -> "NativeModel":
+    def from_int8(cls, path: str, force_two_step: bool = False) -> "NativeModel":
         """Load the int8 binary artifact (io/int8_export.py) — ~4x smaller
         than the f32 CSV export; weights dequantize on load, streaming math
-        stays f32."""
+        stays f32. Reduced layers get the same load-time execution dispatch
+        as the CSV path unless ``force_two_step``."""
         self = cls.__new__(cls)
         self._lib = _load_lib()
-        handle = self._lib.svdlstm_load_int8(path.encode())
+        handle = self._lib.svdlstm_load_int8_ex(
+            path.encode(), 1 if force_two_step else 0
+        )
         if not handle:
             raise RuntimeError(f"native runtime failed to load int8 artifact {path}")
         self._h = handle
         return self
+
+    def layer_info(self, li: int) -> dict:
+        """Which execution path the load-time dispatch chose for layer
+        ``li``: {'w_reduced', 'u_reduced', 'units'}."""
+        w = ctypes.c_int()
+        u = ctypes.c_int()
+        n = ctypes.c_int()
+        ok = self._lib.svdlstm_layer_info(
+            self._h, li, ctypes.byref(w), ctypes.byref(u), ctypes.byref(n)
+        )
+        if not ok:
+            raise IndexError(f"no layer {li}")
+        return {"w_reduced": bool(w.value), "u_reduced": bool(u.value),
+                "units": n.value}
 
     def reset(self) -> None:
         self._lib.svdlstm_reset(self._h)

@@ -171,3 +171,31 @@ def test_mixed_kinds_native_matches_jax(tmp_path, rng):
     )
     y_jax = np.asarray(stacked_lstm_apply(mixed, jnp.asarray(x)[None]))[0, :, 0]
     np.testing.assert_allclose(y_native, y_jax, atol=1e-4)
+
+
+def test_load_time_dispatch_densifies_shallow_ranks(tmp_path, dense, rng):
+    """'r' kind: a reduced export whose rank can't pay for the two-step
+    (r/n >= 0.45) is reconstructed to dense at load; 'R' forces the raw
+    factored path. Both give identical numerics (VERDICT r2 next #5)."""
+    # rank 8 of n=10/8: r/n = 0.8 and 1.0 -> both sides densify
+    rmodel = make_reduced_model(make_singular_model(dense, merged_kernel=False), rank=8)
+    save_reduced_weights_as_csv(rmodel, str(tmp_path))
+    auto = NativeModel(str(tmp_path), ["lstm_0", "lstm_1"], "rr")
+    forced = NativeModel(str(tmp_path), ["lstm_0", "lstm_1"], "RR")
+    for li in range(2):
+        ai = auto.layer_info(li)
+        fi = forced.layer_info(li)
+        assert not ai["w_reduced"] and not ai["u_reduced"], ai
+        assert fi["w_reduced"] and fi["u_reduced"], fi
+    x = rng.normal(size=(40, 6)).astype(np.float32)
+    np.testing.assert_allclose(auto.run(x), forced.run(x), atol=1e-4)
+    # deep rank keeps the factored path under 'r'
+    rdeep = make_reduced_model(make_singular_model(dense, merged_kernel=False), rank=3)
+    d2 = tmp_path / "deep"
+    save_reduced_weights_as_csv(rdeep, str(d2))
+    deep = NativeModel(str(d2), ["lstm_0", "lstm_1"], "rr")
+    info = deep.layer_info(0)
+    assert info["w_reduced"] and info["u_reduced"], info
+    y_native = deep.run(x)
+    y_jax = np.asarray(reduced_lstm_apply(rdeep, jnp.asarray(x)[None]))[0, :, 0]
+    np.testing.assert_allclose(y_native, y_jax, atol=1e-4)
