@@ -64,6 +64,9 @@ def test_bench_cpu_smoke():
     env.update(
         PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
         BENCH_T="256", BENCH_UNITS="8,8", BENCH_RANK="5",
+        # train engine runs the Pallas kernels in interpret mode on CPU —
+        # keep the BPTT windows tiny so the smoke stays fast
+        BENCH_TRAIN_T="12", BENCH_TRAIN_B="8", BENCH_TRAIN_B_BIG="16",
         PYTHONPATH="/root/repo",
     )
     out = subprocess.run(
