@@ -68,6 +68,7 @@ def fused_reduced_stack_compact(
     ct: int = DEFAULT_CT,
     interpret: bool = False,
     unroll: int = DEFAULT_UNROLL,
+    dot_precision=None,
 ):
     """Genuinely-factored merged two-step whole-stack kernel in the compact
     gate layout: per layer and side, z += (v @ B)[:, :r] @ [I|C]_compact.
@@ -82,6 +83,9 @@ def fused_reduced_stack_compact(
     zws = [(4 // k) * LANE for k in ks]
     dp = _ceil_to(d, LANE)
 
+    from svd_lstm_tpu.ops.pallas_lstm import _resolve_dot_precision
+
+    prec = _resolve_dot_precision(dot_precision)
     x_p = pad_cols(x, dp)
     weights = []
     ranks = []
@@ -113,10 +117,10 @@ def fused_reduced_stack_compact(
             inp = x_ref[pl.ds(t, 1), :d]
             for i in range(L):
                 rw, ru = ranks[i]
-                xb = _dot(inp, w_refs[5 * i][:])
-                zx = _dot(xb[:, :rw], w_refs[5 * i + 1][:])
-                hb = _dot(scr[2 * i][:, : units[i]], w_refs[5 * i + 2][:])
-                zu = _dot(hb[:, :ru], w_refs[5 * i + 3][:])
+                xb = _dot(inp, w_refs[5 * i][:], prec)
+                zx = _dot(xb[:, :rw], w_refs[5 * i + 1][:], prec)
+                hb = _dot(scr[2 * i][:, : units[i]], w_refs[5 * i + 2][:], prec)
+                zu = _dot(hb[:, :ru], w_refs[5 * i + 3][:], prec)
                 z = zx + zu + w_refs[5 * i + 4][:]
                 h, c = _gates_compact(z, scr[2 * i + 1][:], units[i], ks[i], interpret)
                 scr[2 * i][:] = h
