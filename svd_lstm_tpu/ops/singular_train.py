@@ -35,6 +35,15 @@ for every factor and zeroed by the mask, exactly as on the scan path.
 
 Dropout fine-tunes keep the XLA scan: the per-gate mask semantics
 (reference code/svd_classes_v3.py:121-137) need the factored forward.
+
+Measured (scripts/probe_singular_finetune_kernel.py, v5e, 4x40/T=200,
+full fine-tune step incl. Hoyer + masked adam): **0.448 ms/step vs the
+f32 scan's 4.726 and the bf16 scan's 3.317 at B=32** (the reference's
+finetune_batch_size) — 10.5×. Known limit of this Mosaic toolchain: at
+B=512 the (differentiated reconstruction matmuls + fused fwd/bwd kernel
+pair) program crashes the remote compiler (HTTP 500, same family as the
+crash mode documented in ops/pallas_train.py); the reference workflow's
+B=32 regime is unaffected.
 """
 
 from __future__ import annotations
@@ -100,10 +109,19 @@ def singular_lstm_apply_fast_train(
     with autodiff of ``singular_lstm_apply`` is asserted in
     tests/test_singular_train_kernel.py.
     """
+    dense = singular_dense_view(sparams)
+    if x_seq.shape[0] > 128:
+        # measured remote-compiler crash at B=512 (differentiated
+        # reconstruction matmuls + fused fwd/bwd kernel pair — module
+        # docstring); the reference fine-tune runs B=32. Large batches
+        # fall back to the exact XLA scan over the reconstructed model.
+        from svd_lstm_tpu.models.lstm import stacked_lstm_apply
+
+        return stacked_lstm_apply(dense, x_seq, return_sequences)
     from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
 
     return stacked_lstm_apply_fast_train(
-        singular_dense_view(sparams),
+        dense,
         x_seq,
         return_sequences=return_sequences,
         interpret=interpret,

@@ -138,3 +138,14 @@ def test_finetune_kernel_matches_scan_losses(rng):
     np.testing.assert_allclose(r_ker.history, r_scan.history, rtol=1e-4)
     for a, b in zip(jax.tree.leaves(r_ker.params), jax.tree.leaves(r_scan.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_large_batch_falls_back_to_scan(rng):
+    """B > 128 routes to the exact XLA scan over the reconstructed dense
+    view (measured remote-compiler crash regime — ops/singular_train.py
+    docstring) and still matches the factored forward."""
+    s = _model(False, units=(12,), d=8)
+    x = jnp.asarray(rng.normal(size=(136, 5, 8)).astype(np.float32))
+    y_ref = np.asarray(singular_lstm_apply(s, x, return_sequences=True))
+    y = np.asarray(singular_lstm_apply_fast_train(s, x, interpret=True))
+    np.testing.assert_allclose(y, y_ref, atol=1e-5)
