@@ -31,6 +31,14 @@ def main():
     ap.add_argument("--orthogonal", type=float, default=0.0)
     ap.add_argument("--cutoff", type=float, default=0.05)
     ap.add_argument("--merged-kernel", action="store_true")
+    ap.add_argument(
+        "--kernel", action="store_true",
+        help="run BOTH training stages through the fused Pallas kernel "
+        "engine: the dense pre-train (ops/pallas_train_fused.py) and the "
+        "singular fine-tune via the differentiable dense reconstruction "
+        "(ops/singular_train.py; 0.448 vs 4.726 ms/step at the flagship "
+        "scale — BENCH_NOTES §train)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -52,11 +60,13 @@ def main():
         from svd_lstm_tpu.data.synthetic import synthetic_dropbear_raw
 
         ds = preprocess_raw(synthetic_dropbear_raw(duration=12.0), DataConfig(split_time=8.0))
-        ft_cfg = TrainConfig(num_windows=1024, window_len=100, epochs=2, batch_size=64)
+        ft_cfg = TrainConfig(num_windows=1024, window_len=100, epochs=2, batch_size=64,
+                             recurrence_kernel=args.kernel)
         units = (40, 40)
     else:
         ds = preprocess(DataConfig())
-        ft_cfg = TrainConfig(num_windows=20000, window_len=200, epochs=10, batch_size=32)
+        ft_cfg = TrainConfig(num_windows=20000, window_len=200, epochs=10, batch_size=32,
+                             recurrence_kernel=args.kernel)
         units = (40, 40, 40, 40)
 
     if os.path.exists(args.ckpt):
@@ -68,7 +78,8 @@ def main():
         model = fit(
             model, ds.X_train, ds.y_train,
             TrainConfig(num_windows=ft_cfg.num_windows, window_len=ft_cfg.window_len,
-                        epochs=ft_cfg.epochs, batch_size=ft_cfg.batch_size),
+                        epochs=ft_cfg.epochs, batch_size=ft_cfg.batch_size,
+                        recurrence_kernel=args.kernel),
             verbose=True,
         ).params
 
