@@ -1,0 +1,200 @@
+"""Multi-device training LOOP: the sharded counterpart of train.loop.fit.
+
+parallel/train.py provides sharded *steps* (dense dp×tp, generic dp for
+the compressed families); this module provides the epoch loop around
+them, so a user of the single-device trainer
+(reference code/train_full_model_v4.py:98-126 workflow) can scale the
+same run across a Mesh without rewriting anything:
+
+* the window set is built once (same sampler, same seed ⇒ the same
+  windows as the single-device fit) and device_put dp-sharded along the
+  batch axis — each device holds 1/dp of the 256 MB window set;
+* each epoch is ONE jitted ``lax.scan`` over the shuffled minibatches
+  whose body is the per-device train step with a ``psum`` gradient
+  reduction (shard_map around the scan, so the collective compiles into
+  the epoch program — no per-step dispatch);
+* NaN rollback / history / checkpoint semantics match ``fit`` exactly
+  (the reference's only fault tolerance,
+  old_versions/train_full_model.py:125-136).
+
+Gradient math is identical to the single-device trainer: per-shard mean
+losses/grads pmean'd over equal shard sizes == the full-batch mean, so
+``fit_dp`` reproduces ``fit``'s loss history to f32 reduction-order
+noise (asserted in tests/test_parallel_fit.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from svd_lstm_tpu.config import TrainConfig
+from svd_lstm_tpu.data.batcher import split_train_random
+from svd_lstm_tpu.models.lstm import stacked_lstm_apply
+from svd_lstm_tpu.train.loop import TrainResult, mse_last_step
+
+
+def fit_dp(
+    params: Any,
+    X_train: np.ndarray,
+    y_train: np.ndarray,
+    mesh: Mesh,
+    cfg: TrainConfig = TrainConfig(),
+    apply_fn: Callable = stacked_lstm_apply,
+    optimizer: optax.GradientTransformation | None = None,
+    loss_extra: Callable | None = None,
+    verbose: bool = False,
+    windows: tuple | None = None,
+) -> TrainResult:
+    """Data-parallel ``fit`` over every device of ``mesh``: params and
+    optimizer state replicated, each minibatch sharded along its batch
+    axis, grads ``pmean``-reduced inside an epoch-level scan.
+
+    Works for any model family whose ``apply_fn`` is pure XLA (dense,
+    singular, reduced — the same contract as
+    ``parallel.train.make_dp_train_step``). ``cfg.batch_size`` must be
+    divisible by the device count.
+    """
+    n_dev = int(mesh.devices.size)
+    if cfg.batch_size % n_dev != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by {n_dev} devices"
+        )
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("dp",))
+    if optimizer is None:
+        optimizer = optax.adam(cfg.learning_rate)
+
+    params = jax.device_put(
+        jax.tree.map(lambda a: jnp.array(a, copy=True), params),
+        NamedSharding(flat_mesh, P()),
+    )
+    opt_state = optimizer.init(params)
+
+    def base_loss(p, x, y):
+        loss = mse_last_step(p, x, y, apply_fn)
+        if loss_extra is not None:
+            loss = loss + loss_extra(p)
+        return loss
+
+    def local_epoch(p, s, xs, ys):
+        # xs: (steps, B/dp, T, d) local shard; the scan IS the epoch
+        def body(carry, xy):
+            p, s = carry
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                loss, grads = jax.value_and_grad(base_loss)(p, *xy)
+            loss = jax.lax.pmean(loss, "dp")
+            grads = jax.lax.pmean(grads, "dp")
+            updates, s = optimizer.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (p, s), losses = jax.lax.scan(body, (p, s), (xs, ys))
+        return p, s, jnp.mean(losses)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_fn(p, s, xs, ys):
+        pspec = jax.tree.map(lambda _: P(), p)
+        ospec = jax.tree.map(lambda _: P(), s)
+        return shard_map(
+            local_epoch,
+            mesh=flat_mesh,
+            in_specs=(pspec, ospec, P(None, "dp"), P(None, "dp")),
+            out_specs=(pspec, ospec, P()),
+            # pure-XLA epoch body: the static mis-sharding guard stays on
+            check_vma=True,
+        )(p, s, xs, ys)
+
+    if windows is not None:
+        X_mini, y_mini = windows
+    else:
+        X_mini, y_mini = split_train_random(
+            X_train, y_train, cfg.num_windows, cfg.window_len, seed=cfg.seed
+        )
+    # the whole window set lives on device, dp-sharded along the batch axis
+    X_dev = jax.device_put(
+        jnp.asarray(X_mini), NamedSharding(flat_mesh, P("dp", None, None))
+    )
+    y_dev = jax.device_put(jnp.asarray(y_mini), NamedSharding(flat_mesh, P("dp")))
+
+    last_good = jax.device_get(params)
+    last_good_opt = jax.device_get(opt_state)
+    history = []
+    rollbacks = 0
+    for epoch in range(cfg.epochs):
+        rng_e = np.random.default_rng(cfg.seed + epoch)
+        n_full = (X_mini.shape[0] // cfg.batch_size) * cfg.batch_size
+        perm = jnp.asarray(rng_e.permutation(X_mini.shape[0])[:n_full])
+        xs = X_dev[perm].reshape(-1, cfg.batch_size, *X_dev.shape[1:])
+        ys = y_dev[perm].reshape(-1, cfg.batch_size)
+        params, opt_state, mean_loss = epoch_fn(params, opt_state, xs, ys)
+        epoch_loss = float(mean_loss)
+        if cfg.nan_rollback and not np.isfinite(epoch_loss):
+            params = jax.device_put(
+                jax.tree.map(jnp.asarray, last_good), NamedSharding(flat_mesh, P())
+            )
+            opt_state = jax.device_put(
+                jax.tree.map(jnp.asarray, last_good_opt),
+                NamedSharding(flat_mesh, P()),
+            )
+            rollbacks += 1
+            if verbose:
+                print(f"epoch {epoch}: NaN loss — rolled back")
+            continue
+        last_good = jax.device_get(params)
+        last_good_opt = jax.device_get(opt_state)
+        history.append(epoch_loss)
+        if verbose:
+            print(f"epoch {epoch}: loss {epoch_loss:.6f}")
+    return TrainResult(
+        params=params, history=history, rollbacks=rollbacks, opt_state=opt_state
+    )
+
+
+def finetune_dp(
+    sparams,
+    X_train: np.ndarray,
+    y_train: np.ndarray,
+    mesh: Mesh,
+    factor_cfg=None,
+    train_cfg: TrainConfig | None = None,
+    verbose: bool = False,
+) -> TrainResult:
+    """dp-sharded singular fine-tune LOOP (σ-only masked adam +
+    Hoyer/orthogonality) — the multi-device form of
+    ``train.finetune.finetune``, matching the reference fine-tune stage
+    (code/svd_acceleration_v3.py:119-128) scaled over the mesh."""
+    from svd_lstm_tpu.config import FactorConfig
+    from svd_lstm_tpu.models.singular import singular_lstm_apply
+    from svd_lstm_tpu.train.finetune import (
+        make_finetune_optimizer,
+        regularization_loss,
+    )
+
+    if factor_cfg is None:
+        factor_cfg = FactorConfig()
+    if train_cfg is None:
+        train_cfg = TrainConfig(
+            epochs=factor_cfg.finetune_epochs,
+            batch_size=factor_cfg.finetune_batch_size,
+        )
+    optimizer = make_finetune_optimizer(
+        sparams, factor_cfg, train_cfg.learning_rate
+    )
+    return fit_dp(
+        sparams,
+        X_train,
+        y_train,
+        mesh,
+        cfg=train_cfg,
+        apply_fn=singular_lstm_apply,
+        optimizer=optimizer,
+        loss_extra=lambda p: regularization_loss(p, factor_cfg),
+        verbose=verbose,
+    )

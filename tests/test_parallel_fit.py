@@ -1,0 +1,89 @@
+"""Multi-device training loop (parallel/fit.py) ≡ the single-device fit.
+
+Same window sampler, same seed, same optimizer: the dp-sharded epoch
+program must reproduce train.loop.fit's loss history and final params to
+f32 reduction-order noise, for the dense trainer AND the singular
+fine-tune (the reference workflow's two training stages,
+code/train_full_model_v4.py:98-126 / svd_acceleration_v3.py:119-128).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from svd_lstm_tpu.config import FactorConfig, TrainConfig
+from svd_lstm_tpu.factor.svd import make_singular_model
+from svd_lstm_tpu.models.lstm import init_stacked_lstm
+from svd_lstm_tpu.parallel.fit import finetune_dp, fit_dp
+from svd_lstm_tpu.parallel.mesh import make_mesh
+from svd_lstm_tpu.train.finetune import finetune
+from svd_lstm_tpu.train.loop import fit
+
+
+@pytest.fixture
+def data(rng):
+    X = rng.normal(size=(1, 96, 6)).astype(np.float32)
+    y = rng.normal(size=(96,)).astype(np.float32)
+    return X, y
+
+
+CFG = dict(num_windows=32, window_len=8, batch_size=16, epochs=3, seed=11)
+
+
+def test_fit_dp_matches_single_device(data):
+    X, y = data
+    params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=6, units=(10, 8))
+    mesh = make_mesh(dp=8, tp=1)
+
+    r_one = fit(params, X, y, cfg=TrainConfig(**CFG))
+    r_dp = fit_dp(params, X, y, mesh, cfg=TrainConfig(**CFG))
+
+    np.testing.assert_allclose(r_dp.history, r_one.history, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(r_dp.params), jax.tree.leaves(r_one.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fit_dp_rejects_indivisible_batch(data):
+    X, y = data
+    params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=6, units=(8,))
+    mesh = make_mesh(dp=8, tp=1)
+    with pytest.raises(ValueError, match="divisible"):
+        fit_dp(params, X, y, mesh, cfg=TrainConfig(**{**CFG, "batch_size": 12}))
+
+
+def test_finetune_dp_matches_single_device(data):
+    X, y = data
+    dense = init_stacked_lstm(jax.random.PRNGKey(1), input_dim=6, units=(8, 8))
+    sparams = make_singular_model(dense, merged_kernel=False)
+    fcfg = FactorConfig(hoyer=0.01)
+    tcfg = TrainConfig(**CFG)
+    mesh = make_mesh(dp=8, tp=1)
+
+    r_one = finetune(sparams, X, y, factor_cfg=fcfg, train_cfg=tcfg)
+    r_dp = finetune_dp(sparams, X, y, mesh, factor_cfg=fcfg, train_cfg=tcfg)
+
+    np.testing.assert_allclose(r_dp.history, r_one.history, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(r_dp.params), jax.tree.leaves(r_one.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fit_dp_nan_rollback(data):
+    """A poisoned epoch (NaN windows) rolls back params AND optimizer
+    state, matching the single-device semantics (reference
+    old_versions/train_full_model.py:125-136)."""
+    X, y = data
+    params = init_stacked_lstm(jax.random.PRNGKey(2), input_dim=6, units=(8,))
+    mesh = make_mesh(dp=8, tp=1)
+    rng = np.random.default_rng(0)
+    Xw = rng.normal(size=(32, 8, 6)).astype(np.float32)
+    yw = rng.normal(size=(32,)).astype(np.float32)
+    yw_bad = yw.copy()
+    yw_bad[:] = np.nan
+    cfg = TrainConfig(**{**CFG, "epochs": 1})
+
+    good = fit_dp(params, X, y, mesh, cfg=cfg, windows=(Xw, yw))
+    bad = fit_dp(params, X, y, mesh, cfg=cfg, windows=(Xw, yw_bad))
+    assert bad.rollbacks == 1 and bad.history == []
+    for a, b in zip(jax.tree.leaves(bad.params), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    assert good.rollbacks == 0 and np.isfinite(good.history).all()
