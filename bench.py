@@ -127,7 +127,9 @@ def bench_reference_scale(jax, jnp, st, device_time_ms, on_tpu):
         # across 4 widths means the kernel is AT its hardware floor)
         from svd_lstm_tpu.bench.roofline import dense_step_cost
 
-        cost = dense_step_cost(INPUT_DIM, UNITS, layout="compact")
+        # the kernel runs the P-layout ("auto" resolves to it — compact
+        # measures 0.8×); the floor model was fitted on the same layout
+        cost = dense_step_cost(INPUT_DIM, UNITS, layout="p")
         measured_us = full_ms * 1e3 / T
         out["floor_fraction_full"] = round(measured_us / cost.floor_us(), 4)
         out["floor_us_per_step"] = round(cost.floor_us(), 4)
