@@ -1,0 +1,97 @@
+"""Distributed training demo: the reference workflow's two training
+stages (dense pre-train + singular fine-tune,
+reference code/train_full_model_v4.py:98-126 /
+svd_acceleration_v3.py:110-204) scaled over a jax.sharding.Mesh.
+
+On real multi-chip hardware the same code runs over the ICI mesh; here
+it demos on whatever devices exist — pass --virtual N to fake an N-device
+CPU mesh (the test/CI configuration).
+
+Run:
+    python examples/distributed_training.py --quick --virtual 8
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--virtual", type=int, default=0,
+        help="force an N-device virtual CPU mesh (must come before jax init)",
+    )
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel factor for the dense stage demo step")
+    args = ap.parse_args()
+
+    if args.virtual:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.virtual}"
+            ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    if args.virtual:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    import numpy as np
+
+    import svd_lstm_tpu as st
+    from svd_lstm_tpu.config import DataConfig, FactorConfig, TrainConfig
+    from svd_lstm_tpu.data.dropbear import preprocess_raw
+    from svd_lstm_tpu.data.synthetic import synthetic_dropbear_raw
+    from svd_lstm_tpu.parallel.fit import finetune_dp, fit_dp
+    from svd_lstm_tpu.parallel.mesh import make_mesh
+    from svd_lstm_tpu.train.loop import predict_full_run
+
+    n_dev = len(jax.devices())
+    print(f"devices: {n_dev} × {jax.devices()[0].platform}")
+    mesh = make_mesh(dp=n_dev, tp=1)
+
+    ds = preprocess_raw(
+        synthetic_dropbear_raw(duration=12.0), DataConfig(split_time=8.0)
+    )
+    if args.quick:
+        cfg = TrainConfig(num_windows=512, window_len=80, epochs=2, batch_size=64)
+        units = (40, 40)
+    else:
+        cfg = TrainConfig(epochs=10)
+        units = (40, 40, 40, 40)
+
+    # stage 1: dense pre-train, data-parallel over every device
+    params = st.init_stacked_lstm(jax.random.PRNGKey(0), 16, units)
+    res = fit_dp(params, ds.X_train, ds.y_train, mesh, cfg=cfg, verbose=True)
+    print(f"dense dp-train: loss {res.history[0]:.4f} -> {res.history[-1]:.4f}")
+
+    # stage 2: factorize + dp singular fine-tune (σ-only + Hoyer)
+    sparams = st.make_singular_model(res.params, merged_kernel=False)
+    fres = finetune_dp(
+        sparams, ds.X_train, ds.y_train, mesh,
+        factor_cfg=FactorConfig(hoyer=0.01),
+        train_cfg=cfg,
+        verbose=True,
+    )
+    print(f"singular dp-finetune: loss {fres.history[-1]:.4f}")
+
+    # stage 3: truncate and predict
+    rmodel = st.make_reduced_model(fres.params, cutoff=0.05)
+    from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+
+    pred = predict_full_run(rmodel, ds.X_test, apply_fn=reduced_lstm_apply)
+    print(f"reduced prediction finite: {np.isfinite(pred).all()}  "
+          f"({pred.shape[0]} steps)")
+
+
+if __name__ == "__main__":
+    main()

@@ -149,3 +149,14 @@ def test_large_batch_falls_back_to_scan(rng):
     y_ref = np.asarray(singular_lstm_apply(s, x, return_sequences=True))
     y = np.asarray(singular_lstm_apply_fast_train(s, x, interpret=True))
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+
+def test_wide_singular_routes_through_uniform_kernel_path(rng):
+    """A lane-aligned singular model reconstructs into the uniform-stack
+    kernel dispatch of stacked_lstm_apply_fast_train (the wide training
+    path) — forward parity in interpret mode."""
+    s = _model(False, units=(128, 128), d=8)
+    x = jnp.asarray(rng.normal(size=(8, 3, 8)).astype(np.float32))
+    y_ref = np.asarray(singular_lstm_apply(s, x, return_sequences=True))
+    y = np.asarray(singular_lstm_apply_fast_train(s, x, interpret=True))
+    np.testing.assert_allclose(y, y_ref, atol=2e-5)
