@@ -52,6 +52,7 @@ def fit_dp(
     loss_extra: Callable | None = None,
     verbose: bool = False,
     windows: tuple | None = None,
+    init_opt_state: Any = None,
 ) -> TrainResult:
     """Data-parallel ``fit`` over every device of ``mesh``: params and
     optimizer state replicated, each minibatch sharded along its batch
@@ -75,7 +76,16 @@ def fit_dp(
         jax.tree.map(lambda a: jnp.array(a, copy=True), params),
         NamedSharding(flat_mesh, P()),
     )
-    opt_state = optimizer.init(params)
+    # multi-phase callers carry adam moments across phases (same contract
+    # as train.loop.fit); copied because the jitted epoch donates its inputs
+    opt_state = (
+        jax.device_put(
+            jax.tree.map(lambda a: jnp.array(a, copy=True), init_opt_state),
+            NamedSharding(flat_mesh, P()),
+        )
+        if init_opt_state is not None
+        else optimizer.init(params)
+    )
 
     def base_loss(p, x, y):
         loss = mse_last_step(p, x, y, apply_fn)
