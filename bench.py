@@ -137,7 +137,7 @@ def bench_reference_scale(jax, jnp, st, device_time_ms, on_tpu):
             f"[ref-scale] floor: {cost.floor_us()*1e3:.0f} ns/step, measured "
             f"{measured_us*1e3:.0f} ns/step -> {out['floor_fraction_full']*100:.0f}%"
         )
-    if on_tpu:
+
         # batch-1 fast mode (relaxed single-pass dots, rel.err ~6e-3)
         import svd_lstm_tpu as st_mod
 
@@ -306,7 +306,7 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
     s0 = opt.init(params)
     interpret = not on_tpu
 
-    def mk_step(apply_fn, optimizer, state, scope=None, extra=None):
+    def mk_step(apply_fn, optimizer, scope=None, extra=None):
         def loss_fn(p, xx, yy):
             pred = apply_fn(p, xx, return_sequences=False)[..., 0]
             loss = jnp.mean((pred - yy) ** 2)
@@ -337,9 +337,9 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
         steps_per_epoch = NUM_WINDOWS // B
         entry = {}
         for name, step in [
-            ("f32_scan", mk_step(stacked_lstm_apply, opt, s0)),
-            ("bf16_scan", mk_step(stacked_lstm_apply, opt, s0, scope="bfloat16")),
-            ("fused_kernel", mk_step(kernel_apply, opt, s0)),
+            ("f32_scan", mk_step(stacked_lstm_apply, opt)),
+            ("bf16_scan", mk_step(stacked_lstm_apply, opt, scope="bfloat16")),
+            ("fused_kernel", mk_step(kernel_apply, opt)),
         ]:
             ms = device_time_ms(step, params, s0, x, y)
             entry[name + "_ms"] = round(ms, 4)
@@ -363,8 +363,8 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
     y = jnp.asarray(rng.normal(size=(TRAIN_B,)), jnp.float32)
     ft = {}
     for name, step in [
-        ("f32_scan", mk_step(singular_lstm_apply, fopt, fs0, extra=reg)),
-        ("fused_kernel", mk_step(ker_ft, fopt, fs0, extra=reg)),
+        ("f32_scan", mk_step(singular_lstm_apply, fopt, extra=reg)),
+        ("fused_kernel", mk_step(ker_ft, fopt, extra=reg)),
     ]:
         ms = device_time_ms(step, sparams, fs0, x, y)
         ft[name + "_ms"] = round(ms, 4)

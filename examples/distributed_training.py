@@ -30,11 +30,15 @@ def main():
     args = ap.parse_args()
 
     if args.virtual:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={args.virtual}"
-            ).strip()
+        # replace (not just append) any inherited device-count flag so
+        # --virtual N always wins
+        flags = [
+            f
+            for f in os.environ.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        ]
+        flags.append(f"--xla_force_host_platform_device_count={args.virtual}")
+        os.environ["XLA_FLAGS"] = " ".join(flags)
         os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
@@ -62,11 +66,13 @@ def main():
     ds = preprocess_raw(
         synthetic_dropbear_raw(duration=12.0), DataConfig(split_time=8.0)
     )
+    # round the batch to a multiple of the device count (fit_dp contract)
+    bs = 64 if 64 % n_dev == 0 else n_dev * max(1, 64 // n_dev)
     if args.quick:
-        cfg = TrainConfig(num_windows=512, window_len=80, epochs=2, batch_size=64)
+        cfg = TrainConfig(num_windows=512, window_len=80, epochs=2, batch_size=bs)
         units = (40, 40)
     else:
-        cfg = TrainConfig(epochs=10)
+        cfg = TrainConfig(epochs=10, batch_size=bs)
         units = (40, 40, 40, 40)
 
     # stage 1: dense pre-train, data-parallel over every device

@@ -75,13 +75,8 @@ def main():
     else:
         print("no checkpoint found — training a fresh model first")
         model = st.init_stacked_lstm(jax.random.PRNGKey(0), 16, units)
-        model = fit(
-            model, ds.X_train, ds.y_train,
-            TrainConfig(num_windows=ft_cfg.num_windows, window_len=ft_cfg.window_len,
-                        epochs=ft_cfg.epochs, batch_size=ft_cfg.batch_size,
-                        recurrence_kernel=args.kernel),
-            verbose=True,
-        ).params
+        # pre-train with the same knobs the fine-tune uses
+        model = fit(model, ds.X_train, ds.y_train, ft_cfg, verbose=True).params
 
     fcfg = FactorConfig(
         merged_kernel=args.merged_kernel, hoyer=args.hoyer,

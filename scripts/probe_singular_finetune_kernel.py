@@ -46,6 +46,20 @@ def main():
     loss_scan = mk_loss(singular_lstm_apply)
     loss_ker = mk_loss(singular_lstm_apply_fast_train)
 
+    # guard-bypassing composition: singular_lstm_apply_fast_train routes
+    # B > 128 to the scan fallback (the crash this probe documents), so the
+    # kernel row at B=512 must call the kernel engine directly to stay a
+    # crash repro rather than silently timing the fallback
+    from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
+    from svd_lstm_tpu.ops.singular_train import singular_dense_view
+
+    def kernel_direct(p, x, return_sequences=True):
+        return stacked_lstm_apply_fast_train(
+            singular_dense_view(p), x, return_sequences=return_sequences
+        )
+
+    loss_ker_direct = mk_loss(kernel_direct)
+
     # gradient parity at the reference width (B=32 keeps the scan-autodiff
     # jit tractable through the tunnel; the fine CPU-side parity lives in
     # tests/test_singular_train_kernel.py)
@@ -78,11 +92,18 @@ def main():
         x = jnp.asarray(rng.normal(size=(B, T, d)).astype(np.float32))
         y = jnp.asarray(rng.normal(size=(B,)).astype(np.float32))
         print(f"-- B={B}")
-        for name, fn in [
-            ("A f32 scan      ", mk_step(loss_scan)),
-            ("B bf16 scan     ", mk_step(loss_scan, "bfloat16")),
-            ("C kernel (recon)", mk_step(loss_ker)),
-        ]:
+        rows = [
+            ("A f32 scan        ", mk_step(loss_scan)),
+            ("B bf16 scan       ", mk_step(loss_scan, "bfloat16")),
+            # C bypasses the B>128 guard: at B=512 this row is the crash
+            # repro (expected FAILED: remote-compiler HTTP 500)
+            ("C kernel (direct) ", mk_step(loss_ker_direct)),
+        ]
+        if B > 128:
+            # what the public API actually runs at this B (the guard's
+            # exact-scan fallback over the reconstructed view)
+            rows.append(("D public API path ", mk_step(loss_ker)))
+        for name, fn in rows:
             try:
                 t = device_time_ms(fn, sparams, s0, x, y)
                 print(f"{name}: {t:8.3f} ms/step")

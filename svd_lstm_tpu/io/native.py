@@ -25,12 +25,27 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libsvdlstm.so")
 def build_native(force: bool = False) -> str:
     """Build libsvdlstm.so; returns its path. Always runs make — it is a
     no-op when the .so is newer than the source, and skipping it can load
-    a stale library after a runtime change."""
+    a stale library after a runtime change. If make fails but a prebuilt
+    .so exists (a consumer box without the toolchain), the stale library
+    is used with a loud warning instead of silently."""
     try:
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
-    except (OSError, subprocess.CalledProcessError):
+    except (OSError, subprocess.CalledProcessError) as e:
         if force or not os.path.exists(_LIB_PATH):
             raise
+        import sys
+        import warnings
+
+        detail = ""
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            detail = e.stderr.decode(errors="replace")[-500:]
+        warnings.warn(
+            f"native build failed; loading PREBUILT {_LIB_PATH} which may be "
+            f"stale relative to svdlstm_runtime.cpp\n{detail}",
+            RuntimeWarning,
+        )
+        print(f"warning: make -C {_NATIVE_DIR} failed; using prebuilt .so",
+              file=sys.stderr)
     return _LIB_PATH
 
 

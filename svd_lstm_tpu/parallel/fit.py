@@ -53,6 +53,7 @@ def fit_dp(
     verbose: bool = False,
     windows: tuple | None = None,
     init_opt_state: Any = None,
+    dropout_rng: jax.Array | None = None,
 ) -> TrainResult:
     """Data-parallel ``fit`` over every device of ``mesh``: params and
     optimizer state replicated, each minibatch sharded along its batch
@@ -62,6 +63,16 @@ def fit_dp(
     singular, reduced — the same contract as
     ``parallel.train.make_dp_train_step``). ``cfg.batch_size`` must be
     divisible by the device count.
+
+    ``cfg.recurrence_kernel`` is honored exactly like ``fit``: the dense
+    scan and the singular fine-tune swap to the Pallas training-kernel
+    engine (check_vma then comes off — the check cannot see through a
+    ``pallas_call``).
+
+    ``dropout_rng`` enables per-batch dropout keys (same schedule as
+    ``fit``); each device folds in its ``dp`` index so mask draws are
+    independent across shards — statistically equivalent to, but not
+    bitwise-identical with, the single-device mask draw.
     """
     n_dev = int(mesh.devices.size)
     if cfg.batch_size % n_dev != 0:
@@ -71,6 +82,26 @@ def fit_dp(
     flat_mesh = Mesh(mesh.devices.reshape(-1), ("dp",))
     if optimizer is None:
         optimizer = optax.adam(cfg.learning_rate)
+
+    using_kernel = False
+    if cfg.recurrence_kernel:
+        from svd_lstm_tpu.models.singular import singular_lstm_apply
+
+        interpret = jax.default_backend() == "cpu"
+        if apply_fn is stacked_lstm_apply:
+            from svd_lstm_tpu.ops.pallas_train import (
+                stacked_lstm_apply_fast_train,
+            )
+
+            apply_fn = partial(stacked_lstm_apply_fast_train, interpret=interpret)
+            using_kernel = True
+        elif apply_fn is singular_lstm_apply:
+            from svd_lstm_tpu.ops.singular_train import (
+                singular_lstm_apply_fast_train,
+            )
+
+            apply_fn = partial(singular_lstm_apply_fast_train, interpret=interpret)
+            using_kernel = True
 
     params = jax.device_put(
         jax.tree.map(lambda a: jnp.array(a, copy=True), params),
@@ -87,39 +118,52 @@ def fit_dp(
         else optimizer.init(params)
     )
 
-    def base_loss(p, x, y):
-        loss = mse_last_step(p, x, y, apply_fn)
+    def base_loss(p, x, y, rng=None):
+        loss = mse_last_step(p, x, y, apply_fn, rng)
         if loss_extra is not None:
             loss = loss + loss_extra(p)
         return loss
 
-    def local_epoch(p, s, xs, ys):
+    def local_epoch(p, s, xs, ys, keys=None):
         # xs: (steps, B/dp, T, d) local shard; the scan IS the epoch
         def body(carry, xy):
             p, s = carry
+            x, y = xy[0], xy[1]
+            rng = None
+            if len(xy) == 3:
+                # independent masks per shard: fold in the dp index
+                rng = jax.random.fold_in(xy[2], jax.lax.axis_index("dp"))
             with jax.default_matmul_precision(cfg.matmul_precision):
-                loss, grads = jax.value_and_grad(base_loss)(p, *xy)
+                loss, grads = jax.value_and_grad(base_loss)(p, x, y, rng)
             loss = jax.lax.pmean(loss, "dp")
             grads = jax.lax.pmean(grads, "dp")
             updates, s = optimizer.update(grads, s, p)
             p = optax.apply_updates(p, updates)
             return (p, s), loss
 
-        (p, s), losses = jax.lax.scan(body, (p, s), (xs, ys))
+        scan_xs = (xs, ys) if keys is None else (xs, ys, keys)
+        (p, s), losses = jax.lax.scan(body, (p, s), scan_xs)
         return p, s, jnp.mean(losses)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_fn(p, s, xs, ys):
+    def epoch_fn(p, s, xs, ys, keys=None):
         pspec = jax.tree.map(lambda _: P(), p)
         ospec = jax.tree.map(lambda _: P(), s)
+        in_specs = [pspec, ospec, P(None, "dp"), P(None, "dp")]
+        args = [p, s, xs, ys]
+        if keys is not None:
+            in_specs.append(P())  # keys replicated; devices fold in dp index
+            args.append(keys)
         return shard_map(
             local_epoch,
             mesh=flat_mesh,
-            in_specs=(pspec, ospec, P(None, "dp"), P(None, "dp")),
+            in_specs=tuple(in_specs),
             out_specs=(pspec, ospec, P()),
-            # pure-XLA epoch body: the static mis-sharding guard stays on
-            check_vma=True,
-        )(p, s, xs, ys)
+            # pure-XLA epoch body keeps the static mis-sharding guard on;
+            # the check cannot see through a pallas_call, so the kernel
+            # engine (and dropout's per-shard fold_in) turns it off
+            check_vma=not (using_kernel or dropout_rng is not None),
+        )(*args)
 
     if windows is not None:
         X_mini, y_mini = windows
@@ -143,7 +187,14 @@ def fit_dp(
         perm = jnp.asarray(rng_e.permutation(X_mini.shape[0])[:n_full])
         xs = X_dev[perm].reshape(-1, cfg.batch_size, *X_dev.shape[1:])
         ys = y_dev[perm].reshape(-1, cfg.batch_size)
-        params, opt_state, mean_loss = epoch_fn(params, opt_state, xs, ys)
+        keys = None
+        if dropout_rng is not None:
+            # fresh per-batch masks, deterministic given (dropout_rng,
+            # epoch) — the same schedule as train.loop.fit
+            keys = jax.random.split(
+                jax.random.fold_in(dropout_rng, epoch), xs.shape[0]
+            )
+        params, opt_state, mean_loss = epoch_fn(params, opt_state, xs, ys, keys)
         epoch_loss = float(mean_loss)
         if cfg.nan_rollback and not np.isfinite(epoch_loss):
             params = jax.device_put(
@@ -175,11 +226,13 @@ def finetune_dp(
     factor_cfg=None,
     train_cfg: TrainConfig | None = None,
     verbose: bool = False,
+    init_opt_state: Any = None,
 ) -> TrainResult:
     """dp-sharded singular fine-tune LOOP (σ-only masked adam +
-    Hoyer/orthogonality) — the multi-device form of
-    ``train.finetune.finetune``, matching the reference fine-tune stage
-    (code/svd_acceleration_v3.py:119-128) scaled over the mesh."""
+    Hoyer/orthogonality, Keras-semantics dropout when configured) — the
+    multi-device form of ``train.finetune.finetune``, matching the
+    reference fine-tune stage (code/svd_acceleration_v3.py:119-128)
+    scaled over the mesh."""
     from svd_lstm_tpu.config import FactorConfig
     from svd_lstm_tpu.models.singular import singular_lstm_apply
     from svd_lstm_tpu.train.finetune import (
@@ -194,6 +247,25 @@ def finetune_dp(
             epochs=factor_cfg.finetune_epochs,
             batch_size=factor_cfg.finetune_batch_size,
         )
+
+    # Dropout runs only on the training loss (same wrapper as the
+    # single-device finetune); evaluation stays deterministic.
+    dropout_rng = None
+    apply_fn = singular_lstm_apply
+    if factor_cfg.dropout > 0.0 or factor_cfg.recurrent_dropout > 0.0:
+        dropout_rng = jax.random.PRNGKey(train_cfg.seed ^ 0x5EED)
+
+        def apply_fn(p, x, return_sequences=True, rng=None):
+            if rng is None:
+                return singular_lstm_apply(p, x, return_sequences)
+            return singular_lstm_apply(
+                p,
+                x,
+                return_sequences,
+                dropout=factor_cfg.dropout,
+                recurrent_dropout=factor_cfg.recurrent_dropout,
+                rng=rng,
+            )
     optimizer = make_finetune_optimizer(
         sparams, factor_cfg, train_cfg.learning_rate
     )
@@ -203,8 +275,10 @@ def finetune_dp(
         y_train,
         mesh,
         cfg=train_cfg,
-        apply_fn=singular_lstm_apply,
+        apply_fn=apply_fn,
         optimizer=optimizer,
         loss_extra=lambda p: regularization_loss(p, factor_cfg),
         verbose=verbose,
+        init_opt_state=init_opt_state,
+        dropout_rng=dropout_rng,
     )

@@ -39,6 +39,7 @@ from svd_lstm_tpu.models.lstm import (
     StackedLSTMParams,
     gate_update,
 )
+from svd_lstm_tpu.utils.linalg import zeros_varying_like
 
 
 # ---------------------------------------------------------------------------
@@ -71,17 +72,11 @@ def _local_layer_apply(layer: LSTMLayerParams, x_seq, tp_axis: str | None):
     xp = jnp.einsum("btd,dg->btg", x_seq, layer.W) + layer.b
     xp_t = jnp.swapaxes(xp, 0, 1)
     U = layer.U
-    h0 = jnp.zeros((B, k), x_seq.dtype)
-    c0 = jnp.zeros((B, k), x_seq.dtype)
     # vma bookkeeping (check_vma=True): the scan carry must enter with the
     # same varying-axes type its outputs have — h/c depend on xp, which
     # varies over every axis xp does (dp via x, tp via the local weights)
-    vary = tuple(getattr(xp, "aval", xp).vma) if hasattr(
-        getattr(xp, "aval", None), "vma"
-    ) else ()
-    if vary:
-        h0 = jax.lax.pvary(h0, vary)
-        c0 = jax.lax.pvary(c0, vary)
+    h0 = zeros_varying_like(xp, (B, k), x_seq.dtype)
+    c0 = zeros_varying_like(xp, (B, k), x_seq.dtype)
 
     def step(carry, xp_step):
         h_local, c_local = carry

@@ -87,3 +87,41 @@ def test_fit_dp_nan_rollback(data):
     for a, b in zip(jax.tree.leaves(bad.params), jax.tree.leaves(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
     assert good.rollbacks == 0 and np.isfinite(good.history).all()
+
+
+def test_fit_dp_honors_recurrence_kernel(data):
+    """cfg.recurrence_kernel swaps the dp loop onto the Pallas training
+    engine (interpret mode on CPU) and still matches the single-device
+    kernel run."""
+    X, y = data
+    params = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=6, units=(12, 12))
+    mesh = make_mesh(dp=8, tp=1)
+    cfg = TrainConfig(
+        num_windows=64, window_len=6, batch_size=64, epochs=2, seed=3,
+        recurrence_kernel=True,
+    )
+    r_one = fit(params, X, y, cfg=cfg)
+    r_dp = fit_dp(params, X, y, mesh, cfg=cfg)
+    np.testing.assert_allclose(r_dp.history, r_one.history, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(r_dp.params), jax.tree.leaves(r_one.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_finetune_dp_dropout_runs(data):
+    """FactorConfig.dropout is honored by the dp fine-tune (not silently
+    dropped): the run is finite and its trajectory differs from the
+    dropout-free run."""
+    X, y = data
+    dense = init_stacked_lstm(jax.random.PRNGKey(4), input_dim=6, units=(8,))
+    sparams = make_singular_model(dense, merged_kernel=False)
+    mesh = make_mesh(dp=8, tp=1)
+    tcfg = TrainConfig(**CFG)
+    r_plain = finetune_dp(sparams, X, y, mesh,
+                          factor_cfg=FactorConfig(hoyer=0.01), train_cfg=tcfg)
+    r_drop = finetune_dp(
+        sparams, X, y, mesh,
+        factor_cfg=FactorConfig(hoyer=0.01, dropout=0.4, recurrent_dropout=0.3),
+        train_cfg=tcfg,
+    )
+    assert np.isfinite(r_drop.history).all()
+    assert not np.allclose(r_drop.history, r_plain.history)
