@@ -54,6 +54,8 @@ def fit_dp(
     windows: tuple | None = None,
     init_opt_state: Any = None,
     dropout_rng: jax.Array | None = None,
+    validation: tuple | None = None,
+    checkpoint_path: str | None = None,
 ) -> TrainResult:
     """Data-parallel ``fit`` over every device of ``mesh``: params and
     optimizer state replicated, each minibatch sharded along its batch
@@ -83,6 +85,9 @@ def fit_dp(
     if optimizer is None:
         optimizer = optax.adam(cfg.learning_rate)
 
+    # validation always runs the EXACT pre-swap forward (config.py
+    # invariant, same as train.loop.fit)
+    exact_apply_fn = apply_fn
     using_kernel = False
     if cfg.recurrence_kernel:
         from svd_lstm_tpu.models.singular import singular_lstm_apply
@@ -177,10 +182,27 @@ def fit_dp(
     )
     y_dev = jax.device_put(jnp.asarray(y_mini), NamedSharding(flat_mesh, P("dp")))
 
+    val_fn = None
+    if validation is not None:
+        # whole-run validation MSE each epoch on the exact pre-swap forward
+        # (reference passes validation_data to Keras fit,
+        # code/svd_acceleration_v3.py:126)
+        Xv = jnp.asarray(validation[0])
+        yv = jnp.asarray(np.asarray(validation[1]).reshape(1, -1))
+        val_fn = jax.jit(
+            lambda p: jnp.mean(
+                jnp.square(
+                    exact_apply_fn(p, Xv, return_sequences=True)[..., 0] - yv
+                )
+            )
+        )
+
     last_good = jax.device_get(params)
     last_good_opt = jax.device_get(opt_state)
     history = []
+    val_history = []
     rollbacks = 0
+    best_loss = float("inf")
     for epoch in range(cfg.epochs):
         rng_e = np.random.default_rng(cfg.seed + epoch)
         n_full = (X_mini.shape[0] // cfg.batch_size) * cfg.batch_size
@@ -211,10 +233,23 @@ def fit_dp(
         last_good = jax.device_get(params)
         last_good_opt = jax.device_get(opt_state)
         history.append(epoch_loss)
+        msg = f"epoch {epoch}: loss {epoch_loss:.6f}"
+        if val_fn is not None:
+            val_loss = float(val_fn(params))
+            val_history.append(val_loss)
+            msg += f"  val {val_loss:.6f}"
+        if checkpoint_path is not None and epoch_loss < best_loss:
+            # save-best-by-loss, the reference's ModelCheckpoint semantics
+            # (old_versions/train_full_model.py:108-116)
+            best_loss = epoch_loss
+            from svd_lstm_tpu.io.checkpoint import save_params
+
+            save_params(checkpoint_path, params)
         if verbose:
-            print(f"epoch {epoch}: loss {epoch_loss:.6f}")
+            print(msg)
     return TrainResult(
-        params=params, history=history, rollbacks=rollbacks, opt_state=opt_state
+        params=params, history=history, rollbacks=rollbacks,
+        val_history=val_history, opt_state=opt_state,
     )
 
 

@@ -125,3 +125,22 @@ def test_finetune_dp_dropout_runs(data):
     )
     assert np.isfinite(r_drop.history).all()
     assert not np.allclose(r_drop.history, r_plain.history)
+
+
+def test_fit_dp_validation_and_checkpoint(data, tmp_path):
+    """validation + save-best checkpointing parity with fit (reference
+    ModelCheckpoint/validation_data semantics)."""
+    X, y = data
+    params = init_stacked_lstm(jax.random.PRNGKey(5), input_dim=6, units=(8,))
+    mesh = make_mesh(dp=8, tp=1)
+    ckpt = str(tmp_path / "best.npz")
+    r = fit_dp(
+        params, X, y, mesh, cfg=TrainConfig(**CFG),
+        validation=(X, y), checkpoint_path=ckpt,
+    )
+    assert len(r.val_history) == len(r.history) == CFG["epochs"]
+    assert np.isfinite(r.val_history).all()
+    from svd_lstm_tpu.io.checkpoint import load_params
+
+    best = load_params(ckpt)
+    assert jax.tree.structure(best) == jax.tree.structure(params)
