@@ -4,6 +4,8 @@
   folded two-step recurrences) with the opt-in fast-mode dot relaxation
 * pallas_batched — batched-throughput recurrence with VMEM-resident U
 * pallas_train / pallas_train_fused — custom-VJP trainable kernel pairs
+* singular_train — the SVD fine-tune through the same kernels via a
+  differentiable dense reconstruction (exact chain-rule factor gradients)
 * layouts — storage-vs-execution layout transforms for reduced models
 """
 
@@ -30,3 +32,7 @@ from svd_lstm_tpu.ops.pallas_train import (
     stacked_lstm_apply_fast_train,
 )
 from svd_lstm_tpu.ops.pallas_train_fused import fused_narrow_train_apply
+from svd_lstm_tpu.ops.singular_train import (
+    singular_dense_view,
+    singular_lstm_apply_fast_train,
+)
