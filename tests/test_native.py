@@ -199,3 +199,25 @@ def test_load_time_dispatch_densifies_shallow_ranks(tmp_path, dense, rng):
     y_native = deep.run(x)
     y_jax = np.asarray(reduced_lstm_apply(rdeep, jnp.asarray(x)[None]))[0, :, 0]
     np.testing.assert_allclose(y_native, y_jax, atol=1e-4)
+
+
+def test_int8_artifact_dispatch_and_force(tmp_path, rng):
+    """The int8 loader applies the same load-time execution dispatch as
+    the CSV path (shallow ranks densify; force_two_step keeps the factored
+    path) with identical numerics."""
+    from svd_lstm_tpu.io.int8_export import save_model_int8_bin
+    from svd_lstm_tpu.io.native import NativeModel
+
+    dense2 = init_stacked_lstm(jax.random.PRNGKey(13), input_dim=6, units=(10, 8))
+    # rank 7 of n=10/8: r/n >= 0.7 -> both sides densify under dispatch
+    red = make_reduced_model(make_singular_model(dense2, merged_kernel=False), rank=7)
+    path = str(tmp_path / "r7_int8.bin")
+    save_model_int8_bin(red, path)
+
+    auto = NativeModel.from_int8(path)
+    forced = NativeModel.from_int8(path, force_two_step=True)
+    ai, fi = auto.layer_info(0), forced.layer_info(0)
+    assert not ai["w_reduced"] and not ai["u_reduced"], ai
+    assert fi["w_reduced"] and fi["u_reduced"], fi
+    x = rng.normal(size=(20, 6)).astype(np.float32)
+    np.testing.assert_allclose(auto.run(x), forced.run(x), atol=1e-4)
