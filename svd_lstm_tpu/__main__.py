@@ -9,6 +9,7 @@ scripts top-to-bottom; here each stage is a subcommand over the library):
     timing     — timing-vs-rank curves
     freq       — toy sine-series task
     batched    — batched multi-sequence inference demo
+    distributed— dp training pipeline over a device mesh (fit_dp/finetune_dp)
     bench      — headline benchmark JSON line
     export     — checkpoint → deployment artifacts (per-gate CSV, JSON,
                  optional int8-quantized npz): the reference's LabVIEW
@@ -30,6 +31,7 @@ _COMMANDS = {
     "freq": "examples/frequency_prediction.py",
     "batched": "examples/batched_inference.py",
     "seq-train": "examples/sequentialize_train.py",
+    "distributed": "examples/distributed_training.py",
     "bench": "bench.py",
     "native-bench": "scripts/bench_native.py",
 }
