@@ -164,10 +164,11 @@ def fit_dp(
             mesh=flat_mesh,
             in_specs=tuple(in_specs),
             out_specs=(pspec, ospec, P()),
-            # pure-XLA epoch body keeps the static mis-sharding guard on;
-            # the check cannot see through a pallas_call, so the kernel
-            # engine (and dropout's per-shard fold_in) turns it off
-            check_vma=not (using_kernel or dropout_rng is not None),
+            # pure-XLA epoch bodies (incl. dropout — axis_index/fold_in
+            # type correctly) keep the static mis-sharding guard on; only
+            # the kernel engine turns it off, where the check cannot see
+            # through a pallas_call
+            check_vma=not using_kernel,
         )(*args)
 
     if windows is not None:
