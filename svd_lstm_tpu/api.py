@@ -72,6 +72,11 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
     from svd_lstm_tpu.utils.precision import cast_params, matmul_scope
 
     scope = matmul_scope(precision)  # also validates the mode name
+    if impl not in ("auto", "scan", "fused", "hybrid"):
+        # a typo'd impl must not silently route to the slow exact scan
+        raise ValueError(
+            f"unknown impl {impl!r}; expected 'auto' | 'scan' | 'fused' | 'hybrid'"
+        )
     batched = x.ndim == 3
     if batched and impl in ("fused", "hybrid"):
         raise ValueError(

@@ -7,7 +7,8 @@ LSTM_wrapper.iterate_reduce_model, old_versions/svd_classes.py:139-182):
 1. compute every gate block's singular values (layers × {W,U} × 4 gates);
 2. order ALL of them ascending ("absolute" heuristic);
 3. iteratively zero the next-smallest σ (rank-reduce that gate block in
-   place), re-evaluate whole-run RMSE every ``evaluate_every`` reductions;
+   place), re-evaluating whole-run RMSE at the un-reduced baseline, every
+   ``evaluate_every`` applied reductions, and at the final state;
 4. track eliminated-weight counts with the slide-9 two-step accounting
    (eliminating one rank of an m×n block saves m + n − 2·r_new − 1 stored
    weights);
@@ -113,34 +114,39 @@ def rank_sweep(
         if keep_predictions:
             preds.append(pred_scaled)
 
-    i = 0
-    for i, (layer_i, wu, gate, _sigma_idx) in enumerate(order):
-        if i % cfg.evaluate_every == 0:
-            evaluate()
-            base = max(rmses[0], 1e-300)
-            if (
-                cfg.threshold is not None
-                and len(rmses) > 1
-                and rmses[-1] / base > cfg.threshold
-            ):
-                break
+    evaluate()  # baseline: 0 reductions (also covers an empty order)
+    reductions = 0
+    since_eval = 0
+    stopped = False
+    for layer_i, wu, gate, _sigma_idx in order:
         key = (int(layer_i), int(wu), int(gate))
         new_rank = ranks[key] - 1
         if new_rank < 1:
-            continue
+            continue  # rank-1 floor: not a reduction, not counted
         ranks[key] = new_rank
         params = set_model_matrix_rank(params, key, new_rank)
         layer = params.layers[key[0]]
         m = layer.W.shape[0] if wu == 0 else layer.units
         n = layer.units
         running_weights += m + n - 2 * new_rank - 1
+        reductions += 1
+        since_eval += 1
+        if since_eval >= cfg.evaluate_every:
+            evaluate()
+            since_eval = 0
+            base = max(rmses[0], 1e-300)
+            if cfg.threshold is not None and rmses[-1] / base > cfg.threshold:
+                stopped = True
+                break
+    if since_eval > 0 and not stopped:
+        evaluate()  # the FINAL state is always measured
 
     rmses_arr = np.asarray(rmses)
     return SweepResult(
         rmse=rmses_arr,
         rmse_ratio=rmses_arr / max(rmses_arr[0], 1e-300),
         weights_eliminated=np.asarray(weights_elim),
-        reductions_done=i,
+        reductions_done=reductions,
         order=order,
         predictions=preds,
     )

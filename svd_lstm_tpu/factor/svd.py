@@ -105,16 +105,28 @@ def _truncate_factors(
 
     B = (U·Σ)·V₁ and C = V₁⁻¹·V₂ (reference code/svd_classes_v3.py:617-627).
     Selection is by threshold σ > cutoff, or by keeping the top ``rank``
-    values (σ from SVD are sorted descending, so top-r = first r).
+    values BY MAGNITUDE — after a fine-tune the σ vector is no longer
+    descending (gradient updates reorder it), so "top-r = first r" would
+    silently keep the wrong components there. Identical to first-r for a
+    freshly factorized model.
     """
     left = np.asarray(left, np.float64)
     sigma = np.asarray(sigma, np.float64)
     right = np.asarray(right, np.float64)
     if rank is not None:
         mask = np.zeros(sigma.shape, bool)
-        mask[:rank] = True
-    else:
+        # stable descending sort: ties keep their original (descending-σ)
+        # order, so a freshly factorized model — including the degenerate
+        # all-equal σ of an orthogonal-initialized recurrent kernel —
+        # truncates exactly as the first-r rule did
+        mask[np.argsort(-np.abs(sigma), kind="stable")[:rank]] = True
+    elif cutoff is not None:
         mask = sigma > cutoff
+    else:
+        raise ValueError(
+            "truncation needs a selection rule: pass cutoff= (σ threshold) "
+            "or rank= (top-r by magnitude)"
+        )
     if not mask.any():
         # Keep at least the largest singular value; an all-zero gate would
         # make V1 empty and the two-step undefined.
@@ -247,7 +259,9 @@ def get_model_singular_values(params: StackedLSTMParams) -> np.ndarray:
     inconsistent with its per-gate ``set_model_matrix_rank``; here the values
     really are per-gate)."""
     L = len(params.layers)
-    units = params.layers[0].units
+    # size the σ axis to the WIDEST layer — a widening stack (e.g. 40→80)
+    # has per-gate σ vectors of different lengths; trailing slots stay 0
+    units = max(layer.units for layer in params.layers)
     out = np.zeros((L, 2, 4, units))
     for i, layer in enumerate(params.layers):
         n = layer.units

@@ -31,11 +31,22 @@ from svd_lstm_tpu.models.lstm import DenseParams, LSTMLayerParams, StackedLSTMPa
 GATES = ("i", "f", "c", "o")
 
 
+_LAYOUT_MARKER = "layout.txt"
+
+
 def save_model_weights_as_csv(
     params: StackedLSTMParams, savpath: str = "./model_weights"
 ) -> None:
-    """Write per-gate CSVs, one directory per layer plus ``dense_top/``."""
+    """Write per-gate CSVs, one directory per layer plus ``dense_top/``.
+
+    Blocks are written UNTRANSPOSED (Keras (in_dim, units) orientation,
+    like the reference's own writer); a ``layout.txt`` marker records this
+    so ``load_model_from_csv``'s auto mode round-trips correctly even
+    though bare fixture directories (no marker) default to the shipped
+    transposed convention."""
     os.makedirs(savpath, exist_ok=True)
+    with open(os.path.join(savpath, _LAYOUT_MARKER), "w") as f:
+        f.write("keras\n")  # untransposed (in_dim, units) blocks
     for li, layer in enumerate(params.layers):
         d = os.path.join(savpath, f"lstm_{li}")
         os.makedirs(d, exist_ok=True)
@@ -57,6 +68,13 @@ def _load_gate(path: str) -> np.ndarray:
     return np.atleast_1d(np.loadtxt(path, delimiter=","))
 
 
+def _load_gate_matrix(path: str) -> np.ndarray:
+    # ndmin=2 preserves orientation for single-column blocks: a (k, 1)
+    # file loads as (k, 1), where atleast_2d(loadtxt(...)) would collapse
+    # it to (1, k) and silently transpose units=1 / in_dim=1 layers
+    return np.loadtxt(path, delimiter=",", ndmin=2)
+
+
 def load_layer_from_csv(
     layer_dir: str, transposed: bool = True, dtype=jnp.float32
 ) -> LSTMLayerParams:
@@ -67,8 +85,8 @@ def load_layer_from_csv(
     """
     Wg, Ug, bg = [], [], []
     for name in GATES:
-        W = np.atleast_2d(_load_gate(os.path.join(layer_dir, f"W{name}.csv")))
-        U = np.atleast_2d(_load_gate(os.path.join(layer_dir, f"U{name}.csv")))
+        W = _load_gate_matrix(os.path.join(layer_dir, f"W{name}.csv"))
+        U = _load_gate_matrix(os.path.join(layer_dir, f"U{name}.csv"))
         b = _load_gate(os.path.join(layer_dir, f"b{name}.csv"))
         if transposed:
             W, U = W.T, U.T
@@ -86,13 +104,22 @@ def load_model_from_csv(
     savpath: str,
     layer_dirs: Sequence[str] | None = None,
     dense_dir: str = "dense_top",
-    transposed: bool = True,
+    transposed: bool | None = None,
     dtype=jnp.float32,
 ) -> StackedLSTMParams:
     """Load a whole stacked model from a model_weights/-style directory.
 
     ``layer_dirs`` default: every ``lstm_*`` subdirectory in name order
-    (matches the reference's lstm_69/lstm_70/lstm_71 layout)."""
+    (matches the reference's lstm_69/lstm_70/lstm_71 layout).
+
+    ``transposed=None`` (default) auto-detects: a directory written by
+    ``save_model_weights_as_csv`` carries a ``layout.txt`` marker and loads
+    untransposed; a bare fixture directory (the shipped reference
+    artifacts) falls back to the transposed convention. This makes the
+    default save → default load round-trip correct — square gate blocks
+    would otherwise silently load as their transposes."""
+    if transposed is None:
+        transposed = not os.path.exists(os.path.join(savpath, _LAYOUT_MARKER))
     if layer_dirs is None:
         layer_dirs = sorted(
             d for d in os.listdir(savpath)
@@ -131,15 +158,33 @@ def save_model_weights_as_json(params: StackedLSTMParams, savpath: str = "model_
 
 def json_to_csv(json_file: str, savpath: str) -> None:
     """Dump every list-valued entry of a JSON file to <name>.csv
-    (reference load_preprocess.py:130-143 — LabVIEW prefers CSVs)."""
+    (reference load_preprocess.py:130-143 — LabVIEW prefers CSVs).
+
+    The reference's version breaks on its own ``save_model_weights_as_json``
+    output (the per-layer [W, U, b] entries are ragged; upstream comment:
+    "I don't think this actually works properly"). Here ragged entries
+    split into ``<name>_<j>.csv`` per component instead of raising."""
     import json
 
     with open(json_file) as f:
         data = json.load(f)
     os.makedirs(savpath, exist_ok=True)
     for name, dataset in data.items():
-        if isinstance(dataset, list):
-            np.savetxt(os.path.join(savpath, f"{name}.csv"), np.asarray(dataset), delimiter=",")
+        if not isinstance(dataset, list):
+            continue
+        try:
+            arr = np.asarray(dataset, dtype=np.float64)
+        except ValueError:
+            arr = None  # inhomogeneous (e.g. a [W, U, b] layer entry)
+        if arr is not None and arr.dtype != object:
+            np.savetxt(os.path.join(savpath, f"{name}.csv"), arr, delimiter=",")
+        else:
+            for j, part in enumerate(dataset):
+                np.savetxt(
+                    os.path.join(savpath, f"{name}_{j}.csv"),
+                    np.asarray(part, dtype=np.float64),
+                    delimiter=",",
+                )
 
 
 def predictions_to_csv(path: str, y: np.ndarray) -> None:

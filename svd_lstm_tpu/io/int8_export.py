@@ -68,6 +68,15 @@ def save_model_int8_bin(params, path: str) -> int:
     from svd_lstm_tpu.models.lstm import StackedLSTMParams
     from svd_lstm_tpu.models.reduced import ReducedModelParams
 
+    head_b = np.asarray(params.head.b).reshape(-1)
+    if head_b.size != 1:
+        # the artifact (and the native runtime's scalar y = b + w·h,
+        # svdlstm_runtime.cpp) encodes a single-output head; a multi-output
+        # model would silently lose all but the first bias
+        raise ValueError(
+            f"int8 binary export supports a single-output head, got "
+            f"head_dim={head_b.size}"
+        )
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<II", VERSION, len(params.layers)))

@@ -174,3 +174,60 @@ class TestRegularizers:
         expected = 0.5 * off / (5 * 4 / 2.0)
         got = float(orthogonal_penalty(jnp.asarray(m, jnp.float32), factor=1.0))
         assert got == pytest.approx(expected, rel=1e-4)
+
+
+def test_rank_truncation_keeps_top_r_by_magnitude(rng):
+    """After a fine-tune reorders σ, rank= truncation must keep the top-r
+    by magnitude, not the first r slots (round-3 review finding)."""
+    from svd_lstm_tpu.factor.svd import _truncate_factors
+
+    d = 6
+    q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    q2, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    sigma = np.array([0.1, 3.0, 0.2, 2.0, 0.05, 1.0])  # NOT descending
+    B, C = _truncate_factors(q, sigma, q2.T, cutoff=None, rank=3)
+    # reconstruction must equal keeping exactly the {3.0, 2.0, 1.0} components
+    keep = np.zeros(d, bool)
+    keep[[1, 3, 5]] = True
+    W_expect = (q[:, keep] * sigma[keep]) @ q2.T[keep, :]
+    got = np.concatenate([B, B @ C], axis=1)
+    np.testing.assert_allclose(got, W_expect, atol=1e-10)
+
+
+def test_truncate_requires_a_selection_rule():
+    from svd_lstm_tpu.factor.svd import _truncate_factors
+
+    with pytest.raises(ValueError, match="selection rule"):
+        _truncate_factors(np.eye(3), np.ones(3), np.eye(3), cutoff=None, rank=None)
+
+
+def test_singular_values_non_uniform_stack():
+    """get_model_singular_values must handle widening stacks (round-3
+    review finding: output was sized from layer 0's units)."""
+    from svd_lstm_tpu.factor.svd import get_model_singular_values
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+
+    params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=5, units=(6, 12))
+    sv = get_model_singular_values(params)
+    assert sv.shape == (2, 2, 4, 12)
+    assert (sv[1, 1, :, :12] > 0).all()      # layer 1 U: full 12 σ present
+    assert (sv[0, 0, :, 5:] == 0).all()      # layer 0 W: only min(5,6)=5 σ
+
+
+def test_rank_truncation_tie_stability():
+    """Degenerate all-equal σ (orthogonal-initialized recurrent kernels):
+    the top-r rule must reduce to the first-r rule so tied subsets don't
+    silently change the truncated basis (round-3 regression)."""
+    from svd_lstm_tpu.factor.svd import _truncate_factors
+
+    d = 6
+    q = np.linalg.qr(np.random.default_rng(1).normal(size=(d, d)))[0]
+    q2 = np.linalg.qr(np.random.default_rng(2).normal(size=(d, d)))[0]
+    sigma = np.full(d, 2.0)
+    B_new, C_new = _truncate_factors(q, sigma, q2.T, cutoff=None, rank=4)
+    # first-r reference
+    U, S, V = q[:, :4], sigma[:4], q2.T[:4, :]
+    B_ref = (U * S) @ V[:, :4]
+    C_ref = np.linalg.solve(V[:, :4], V[:, 4:])
+    np.testing.assert_allclose(B_new, B_ref, atol=1e-12)
+    np.testing.assert_allclose(C_new, C_ref, atol=1e-12)

@@ -40,3 +40,78 @@ def test_device_time_ms_cpu():
     x = jnp.ones((256, 256))
     ms = device_time_ms(f, x, repeats=2)
     assert 0 < ms < 10_000
+
+
+def test_csv_default_roundtrip_is_exact(tmp_path, rng):
+    """Default save → default load round-trips exactly: the layout marker
+    makes auto-detection pick the untransposed convention (round-3 review
+    finding: square gate blocks silently loaded transposed)."""
+    from svd_lstm_tpu.io.csv_weights import (
+        load_model_from_csv,
+        save_model_weights_as_csv,
+    )
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+
+    # square blocks everywhere (d == n) — the case the old default corrupted
+    params = init_stacked_lstm(jax.random.PRNGKey(2), input_dim=8, units=(8, 8))
+    save_model_weights_as_csv(params, str(tmp_path))
+    back = load_model_from_csv(str(tmp_path))
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_csv_single_column_blocks_keep_orientation(tmp_path, rng):
+    """in_dim=1 layers: (1, n) W blocks survive the round trip (ndmin=2
+    keeps single-row/column orientation — round-3 review finding)."""
+    from svd_lstm_tpu.io.csv_weights import (
+        load_model_from_csv,
+        save_model_weights_as_csv,
+    )
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+
+    params = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=1, units=(5,))
+    save_model_weights_as_csv(params, str(tmp_path))
+    back = load_model_from_csv(str(tmp_path))
+    assert back.layers[0].W.shape == (1, 20)
+    np.testing.assert_allclose(
+        np.asarray(back.layers[0].W), np.asarray(params.layers[0].W), atol=1e-6
+    )
+
+
+def test_json_to_csv_consumes_own_json(tmp_path):
+    """json_to_csv handles the ragged [W, U, b] layer entries its own
+    writer produces (the reference's version raises; round-3 review)."""
+    from svd_lstm_tpu.io.csv_weights import json_to_csv, save_model_weights_as_json
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+
+    params = init_stacked_lstm(jax.random.PRNGKey(4), input_dim=4, units=(6,))
+    jpath = str(tmp_path / "w.json")
+    save_model_weights_as_json(params, jpath)
+    out = tmp_path / "csv"
+    json_to_csv(jpath, str(out))
+    got = sorted(p.name for p in out.iterdir())
+    assert "layer0_0.csv" in got and "layer0_2.csv" in got
+    W = np.loadtxt(out / "layer0_0.csv", delimiter=",")
+    np.testing.assert_allclose(W, np.asarray(params.layers[0].W), atol=1e-6)
+
+
+def test_int8_export_rejects_multi_output_head():
+    from svd_lstm_tpu.io.int8_export import save_model_int8_bin
+    from svd_lstm_tpu.models.lstm import DenseParams, init_stacked_lstm
+
+    params = init_stacked_lstm(jax.random.PRNGKey(5), input_dim=4, units=(6,))
+    import jax.numpy as jnp
+
+    wide_head = DenseParams(w=jnp.zeros((6, 2)), b=jnp.zeros((2,)))
+    with pytest.raises(ValueError, match="single-output head"):
+        save_model_int8_bin(params._replace(head=wide_head), "/tmp/never.bin")
+
+
+def test_predict_rejects_unknown_impl(rng):
+    import svd_lstm_tpu as st
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+
+    params = init_stacked_lstm(jax.random.PRNGKey(6), input_dim=4, units=(6,))
+    x = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="unknown impl"):
+        st.predict(params, x, impl="fuse")
