@@ -59,7 +59,7 @@ def _device_exec_ms(events) -> float:
     total = 0.0
     for e in events:
         name = e.get("name", "")
-        if name.startswith("jit_") or name.startswith("jit__"):
+        if name.startswith("jit_"):
             total += e.get("dur", 0) / 1000.0
     if total > 0:
         return total

@@ -20,6 +20,11 @@ def split_train_random(
     """X_train: (1, T, d); y_train: (T,). Returns (batch, train_len, d), (batch,)."""
     rng = np.random.default_rng(seed)
     run_size = X_train.shape[1]
+    if train_len >= run_size:
+        raise ValueError(
+            f"window_len {train_len} must be shorter than the training run "
+            f"({run_size} frames) — no window fits"
+        )
     starts = rng.integers(0, run_size - train_len, size=batch_size)
     # Gather windows with one vectorized fancy-index instead of a Python loop.
     offsets = np.arange(train_len)
@@ -41,6 +46,11 @@ def split_train_random_multi(
     windows are sampled uniformly over (run, offset) pairs."""
     rng = np.random.default_rng(seed)
     R, T = X_runs.shape[0], X_runs.shape[1]
+    if train_len >= T:
+        raise ValueError(
+            f"window_len {train_len} must be shorter than the runs "
+            f"({T} frames) — no window fits"
+        )
     runs = rng.integers(0, R, size=batch_size)
     starts = rng.integers(0, T - train_len, size=batch_size)
     offsets = np.arange(train_len)

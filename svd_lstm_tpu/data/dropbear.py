@@ -80,14 +80,22 @@ def load_dropbear_json(path: str) -> RawRun:
 
 
 def forward_fill_nan(x: np.ndarray) -> np.ndarray:
-    """Vectorized forward-fill of NaNs (reference does a Python loop, v4:41-43)."""
+    """Vectorized forward-fill of NaNs (reference does a Python loop,
+    v4:41-43). LEADING NaNs back-fill from the first finite value — the
+    reference's loop accidentally wraps index −1 there; leaving them in
+    place would silently poison the scalers and the whole dataset."""
     x = np.asarray(x, dtype=np.float64).copy()
     mask = np.isnan(x)
     if not mask.any():
         return x
+    if mask.all():
+        raise ValueError("forward_fill_nan: input is all-NaN")
     idx = np.where(~mask, np.arange(x.size), 0)
     np.maximum.accumulate(idx, out=idx)
     x[mask] = x[idx[mask]]
+    still = np.isnan(x)
+    if still.any():  # leading run: no earlier value exists
+        x[still] = x[np.flatnonzero(~still)[0]]
     return x
 
 

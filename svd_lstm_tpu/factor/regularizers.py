@@ -29,17 +29,26 @@ def orthogonal_penalty(
 
     mode='rows': gram = normalize_rows(m) @ normalize_rows(m)ᵀ;
     mode='columns': the transpose convention. Matches Keras ≥2.10.
-    Batched inputs (leading gate axis, ndim==3) are averaged over the batch.
+
+    Split factors (leading gate axis, ndim==3, shape (4, a, b)) are
+    penalized as the COLUMN-CONCATENATED (a, 4b) matrix — the reference
+    stores split factors concatenated (code/svd_classes_v3.py:74-107) and
+    regularizes that whole matrix, so rows normalize across all four
+    gates jointly; a per-gate average gives different gradients.
     """
     if m.ndim == 3:
-        vals = [orthogonal_penalty(m[g], factor, mode, eps) for g in range(m.shape[0])]
-        return sum(vals) / len(vals)
+        g, a, b = m.shape
+        m = jnp.transpose(m, (1, 0, 2)).reshape(a, g * b)
     if mode == "columns":
         m = m.T
+    size = m.shape[0]
+    if size < 2:
+        # a single row/column has no off-diagonal pairs; 0/0 here would
+        # silently turn the fine-tune loss into NaN (e.g. d=1 inputs)
+        return jnp.zeros((), m.dtype) * factor
     norm = jnp.sqrt(jnp.sum(jnp.square(m), axis=1, keepdims=True) + eps)
     mn = m / norm
     gram = mn @ mn.T
-    size = gram.shape[0]
     off = jnp.abs(gram - jnp.diag(jnp.diag(gram)))
     num_pairs = size * (size - 1.0) / 2.0
     return factor * 0.5 * jnp.sum(off) / num_pairs

@@ -73,7 +73,8 @@ def _build(spec: Any, leaves) -> Any:
 
 def save_params(path: str, params: Any) -> None:
     """Save a parameter pytree (dense/singular/reduced model) to ``path``
-    (a ``.npz`` file; parent dirs are created)."""
+    (a ``.npz`` file; parent dirs are created). ``np.savez`` appends
+    ``.npz`` to suffix-less names, so ``load_params`` accepts either form."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     leaves: list = []
     spec = _spec_of(jax.device_get(params), leaves)
@@ -83,9 +84,13 @@ def save_params(path: str, params: Any) -> None:
 
 def load_params(path: str) -> Any:
     """Load a pytree saved by :func:`save_params` (``.npz``) or
-    :func:`save_params_orbax` (directory) — format is detected from the path."""
+    :func:`save_params_orbax` (directory) — format is detected from the path.
+    A suffix-less ``path`` falls back to ``path + '.npz'`` (what
+    ``np.savez`` actually wrote for a suffix-less save)."""
     if os.path.isdir(path):
         return load_params_orbax(path)
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
     with np.load(path, allow_pickle=False) as z:
         spec = json.loads(str(z["__spec__"]))
         leaves = [z[f"leaf_{i}"] for i in range(sum(1 for k in z.files if k.startswith("leaf_")))]

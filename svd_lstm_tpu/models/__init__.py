@@ -9,3 +9,9 @@ from svd_lstm_tpu.models.lstm import (
 )
 from svd_lstm_tpu.models.singular import SingularLayerParams, singular_lstm_apply
 from svd_lstm_tpu.models.reduced import ReducedLayerParams, reduced_lstm_apply
+from svd_lstm_tpu.models.streaming import (
+    init_stream,
+    make_stream_fn,
+    stream_many,
+    stream_step,
+)

@@ -70,3 +70,59 @@ def stream_many(params, state: StreamState, frames: jax.Array):
 
     state, ys = jax.lax.scan(step, state, frames_t)
     return jnp.swapaxes(ys, 0, 1), state
+
+
+def make_stream_fn(params, batch: int = 1, dtype=jnp.float32):
+    """Pre-packed streaming closure: returns ``(step_fn, state0)`` with
+    ``y, state = step_fn(state, frame)``.
+
+    ``stream_step`` re-derives every execution-layout constant (the split
+    reduced form re-pads/folds its factors) inside each call — fine under
+    an outer scan where XLA hoists it, but pure per-frame overhead when the
+    deployment loop jits the single step (the real-time usage,
+    reference old_versions/svd_classes.py:104-119). Here all packing runs
+    ONCE at closure build; the returned function is jitted with the packed
+    weights baked in as constants.
+    """
+    from svd_lstm_tpu.utils.linalg import fold_IC, pad_cols, pad_rows
+
+    layer_fns = []
+    for layer in params.layers:
+        if hasattr(layer, "wB") and layer.split:  # split reduced: pre-pack
+            packed = {}
+            for which, Bs, Cs in (("w", layer.wB, layer.wC), ("u", layer.uB, layer.uC)):
+                rmax = max(B.shape[1] for B in Bs)
+                packed[which] = (
+                    jnp.stack([pad_cols(B, rmax) for B in Bs]),
+                    jnp.stack([pad_rows(fold_IC(B, C), rmax) for B, C in zip(Bs, Cs)]),
+                )
+
+            def step(x, h, c, packed=packed, b=layer.b):
+                def proj(v, Bp, ICp):
+                    xb = jnp.einsum("...d,gdr->...gr", v, Bp)
+                    z = jnp.einsum("...gr,grn->...gn", xb, ICp)
+                    return z.reshape(*z.shape[:-2], -1)
+
+                z = proj(x, *packed["w"]) + b + proj(h, *packed["u"])
+                return gate_update(z, c)
+
+            layer_fns.append(step)
+        else:
+            def step(x, h, c, layer=layer):
+                return _layer_step(layer, x, h, c)
+
+            layer_fns.append(step)
+
+    head_w, head_b = params.head.w, params.head.b
+
+    @jax.jit
+    def step_fn(state, frame):
+        x = frame
+        new_state = []
+        for fn, (h, c) in zip(layer_fns, state):
+            h, c = fn(x, h, c)
+            new_state.append((h, c))
+            x = h
+        return x @ head_w + head_b, tuple(new_state)
+
+    return step_fn, init_stream(params, batch, dtype)

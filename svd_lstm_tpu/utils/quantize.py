@@ -77,7 +77,11 @@ def quantize_params(params: Any) -> Any:
         if hasattr(x, "ndim") and x.ndim >= 2 and jnp.issubdtype(
             jnp.asarray(x).dtype, jnp.floating
         ):
-            return quantize_tensor(x)
+            # split-singular factors are (4, rows, cols): reduce the ROW
+            # axis within each gate so the scheme stays per-output-column
+            # (reducing axis 0 there would compute one scale per element
+            # from 4 samples and double the stored size)
+            return quantize_tensor(x, axis=x.ndim - 2)
         return x
 
     return jax.tree.map(maybe_q, params, is_leaf=_is_qt)

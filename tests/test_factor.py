@@ -231,3 +231,30 @@ def test_rank_truncation_tie_stability():
     C_ref = np.linalg.solve(V[:, :4], V[:, 4:])
     np.testing.assert_allclose(B_new, B_ref, atol=1e-12)
     np.testing.assert_allclose(C_new, C_ref, atol=1e-12)
+
+
+def test_orthogonal_penalty_single_row_is_zero_not_nan():
+    """round-3 review: a (1, k) factor (d=1 inputs) has no off-diagonal
+    pairs — the penalty must be 0, not 0/0 = NaN poisoning the loss."""
+    v = orthogonal_penalty(jnp.ones((1, 8)), factor=0.5)
+    assert float(v) == 0.0 and np.isfinite(float(v))
+
+
+def test_orthogonal_penalty_split_matches_concatenated():
+    """Split (4, a, b) factors penalize as the column-concatenated (a, 4b)
+    matrix — the reference's storage layout (round-3 review)."""
+    rng = np.random.default_rng(3)
+    m3 = jnp.asarray(rng.normal(size=(4, 5, 6)), jnp.float32)
+    concat = jnp.concatenate([m3[g] for g in range(4)], axis=1)
+    np.testing.assert_allclose(
+        float(orthogonal_penalty(m3)), float(orthogonal_penalty(concat)), rtol=1e-6
+    )
+
+
+def test_forward_fill_nan_leading_values():
+    from svd_lstm_tpu.data.dropbear import forward_fill_nan
+
+    out = forward_fill_nan(np.array([np.nan, np.nan, 2.0, np.nan, 5.0]))
+    np.testing.assert_allclose(out, [2.0, 2.0, 2.0, 2.0, 5.0])
+    with pytest.raises(ValueError, match="all-NaN"):
+        forward_fill_nan(np.array([np.nan, np.nan]))

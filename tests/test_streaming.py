@@ -68,3 +68,27 @@ class TestSingularToDense:
         y1 = stacked_lstm_apply(dense, x)
         y2 = stacked_lstm_apply(back, x)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_make_stream_fn_matches_stream_step(rng):
+    """Pre-packed streaming closure ≡ stream_step for all three families
+    (round-3 review: packing hoisted out of the per-frame path)."""
+    import svd_lstm_tpu as st
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+    from svd_lstm_tpu.models.streaming import (
+        init_stream,
+        make_stream_fn,
+        stream_step,
+    )
+
+    dense = init_stacked_lstm(jax.random.PRNGKey(21), input_dim=5, units=(8, 6))
+    sing = st.make_singular_model(dense, merged_kernel=False)
+    red = st.make_reduced_model(sing, rank=4)
+    for params in (dense, sing, red):
+        fn, state_p = make_stream_fn(params)
+        state_r = init_stream(params)
+        for t in range(5):
+            frame = jnp.asarray(rng.normal(size=(1, 5)).astype(np.float32))
+            y_p, state_p = fn(state_p, frame)
+            y_r, state_r = stream_step(params, state_r, frame)
+            np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r), atol=1e-5)
