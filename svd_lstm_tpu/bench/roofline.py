@@ -36,7 +36,8 @@ V5E_VMEM_GBPS = 3720.0       # fitted VMEM streaming bandwidth (probe_chain_deco
 CHAIN_NS_PER_STAGE = 95.0    # fitted per-layer dependent-stage latency, f32 matvec+gates
 V5E_MXU_MACS = 1.0e14 / 2    # ~100 TFLOP/s f32 → 50 T MAC/s
 
-LANE = 128
+from svd_lstm_tpu.utils.linalg import LANE  # canonical lane width
+
 SUB = 8
 
 

@@ -102,7 +102,6 @@ def synthetic_dropbear_raw(
 
     # inject NaNs into pin to exercise forward-fill
     nan_idx = rng.choice(pin_t.size - 10, size=25, replace=False) + 5
-    pin = pin.copy()
     pin[nan_idx] = np.nan
 
     return RawRun(

@@ -124,6 +124,7 @@ def finetune_with_pruning(
     params = sparams
     result = None
     history, val_history = [], []
+    rollbacks = 0
     opt_state = None
     for epoch in range(train_cfg.epochs):
         one = dataclasses.replace(train_cfg, epochs=1, seed=train_cfg.seed + epoch)
@@ -135,10 +136,13 @@ def finetune_with_pruning(
         opt_state = result.opt_state
         history.extend(result.history)
         val_history.extend(result.val_history or [])
+        rollbacks += result.rollbacks
         sparsity = schedule((epoch + 1) * steps_per_epoch)
         params = prune_sigmas(result.params, sparsity)
     if result is not None:
         result.params = params
         result.history = history
         result.val_history = val_history or result.val_history
+        # rollbacks from EVERY epoch, not just the last one's TrainResult
+        result.rollbacks = rollbacks
     return result

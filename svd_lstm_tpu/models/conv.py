@@ -14,6 +14,7 @@ from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from svd_lstm_tpu.models.lstm import (
     DenseParams,
@@ -59,11 +60,17 @@ def init_conv_lstm(
     dtype=jnp.float32,
 ) -> ConvLSTMParams:
     keys = jax.random.split(key, len(units) + 2)
-    wk = _glorot_uniform(keys[0], (kernel_size * in_channels, filters), dtype)
-    conv = ConvParams(
-        w=wk.reshape(kernel_size, in_channels, filters),
-        b=jnp.zeros((filters,), dtype),
+    # Keras glorot for conv kernels: fan_in = kernel_size*in_channels,
+    # fan_out = kernel_size*filters (receptive-field-scaled, NOT the flat
+    # (rows, cols) rule — that gave a ~2.5x wider init than the reference
+    # conv experiment, old_versions/toy-convolution.py)
+    fan_in = kernel_size * in_channels
+    fan_out = kernel_size * filters
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    wk = jax.random.uniform(
+        keys[0], (kernel_size, in_channels, filters), dtype, -limit, limit
     )
+    conv = ConvParams(w=wk, b=jnp.zeros((filters,), dtype))
     layers = []
     d = filters
     for k_, n in zip(keys[1:-1], units):

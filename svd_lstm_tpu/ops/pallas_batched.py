@@ -45,14 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from svd_lstm_tpu.models.lstm import StackedLSTMParams, gate_update
 from svd_lstm_tpu.ops.pallas_lstm import _gates_p  # shape-generic: (rows, 4*npg)
-from svd_lstm_tpu.utils.linalg import pad_gate_cols
+from svd_lstm_tpu.utils.linalg import LANE, ceil_to, pad_gate_cols
 
-LANE = 128
 DEFAULT_BT = 512  # batch-tile rows per grid step
 
 
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
+_ceil_to = ceil_to  # canonical helper lives in utils.linalg
 
 
 def batched_lstm_recurrence_pallas(

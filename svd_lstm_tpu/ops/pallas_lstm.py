@@ -45,6 +45,8 @@ from svd_lstm_tpu.models.lstm import StackedLSTMParams
 from svd_lstm_tpu.models.reduced import ReducedModelParams
 
 from svd_lstm_tpu.utils.linalg import (
+    LANE,
+    ceil_to,
     fold_IC,
     gate_group_size,
     pack_gate_cols_compact,
@@ -52,7 +54,6 @@ from svd_lstm_tpu.utils.linalg import (
     pad_gate_cols,
 )
 
-LANE = 128
 DEFAULT_CT = 512
 # Time-loop unroll factor: amortizes per-step loop management in the
 # sequential recurrence. Measured at the headline point (4×40, T=6656,
@@ -61,8 +62,7 @@ DEFAULT_CT = 512
 DEFAULT_UNROLL = 16
 
 
-def _ceil_to(x: int, m: int) -> int:
-    return -(-x // m) * m
+_ceil_to = ceil_to  # canonical helper lives in utils.linalg
 
 
 def _time_loop(step, CT: int, unroll: int) -> None:
@@ -132,6 +132,13 @@ def _dot(a, b, precision=None):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
 
 
+def _bad_dot_precision(value):
+    raise ValueError(
+        f"unknown dot_precision {value!r}; expected None, 'default', "
+        "'highest', or a jax.lax.Precision"
+    )
+
+
 def _resolve_dot_precision(dot_precision):
     """None -> inherit the package default (f32-forced passes: exact);
     'default' -> single-pass bf16 multiply with f32 accumulation — the
@@ -143,10 +150,13 @@ def _resolve_dot_precision(dot_precision):
         return None
     if isinstance(dot_precision, jax.lax.Precision):
         return dot_precision
-    return {
+    table = {
         "default": jax.lax.Precision.DEFAULT,
         "highest": jax.lax.Precision.HIGHEST,
-    }[dot_precision]
+    }
+    if dot_precision not in table:
+        _bad_dot_precision(dot_precision)
+    return table[dot_precision]
 
 
 def _pad_state(s: jax.Array | None, n: int, npg: int) -> jax.Array:
@@ -376,6 +386,8 @@ def fused_dense_stack_pallas(
     prec = _resolve_dot_precision(dot_precision)
     units = [l.units for l in params.layers]
     L = len(units)
+    if layout not in ("auto", "p", "compact"):
+        raise ValueError(f"unknown layout {layout!r}; expected 'auto' | 'p' | 'compact'")
     ks = [gate_group_size(n) if layout == "compact" else 1 for n in units]
     npgs = [_ceil_to(n, LANE) for n in units]
     # per-layer (z width, state width)

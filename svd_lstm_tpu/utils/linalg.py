@@ -6,6 +6,13 @@ import jax
 import jax.numpy as jnp
 
 
+LANE = 128  # TPU vector lane width: the unit every kernel layout pads to
+
+
+def ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def zeros_varying_like(ref, shape, dtype) -> jax.Array:
     """``jnp.zeros(shape, dtype)`` carrying the same varying-manual-axes
     (vma) type as ``ref``.

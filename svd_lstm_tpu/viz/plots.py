@@ -106,6 +106,7 @@ def save_prediction_gif(
         fig = plot_prediction_overlay(
             t, y_true, {"reduced model": pred}, annotate=label
         )
+        fig.set_dpi(dpi)
         fig.canvas.draw()
         w, h = fig.canvas.get_width_height()
         buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
