@@ -12,12 +12,15 @@ ride ICI):
   only per-step collective) and computes its local gates/state slice. The
   backward of the all-gather is a reduce-scatter — inserted automatically
   by shard_map's transpose rules.
-* **pp / sp / ep** — deliberately not used: a 4-layer×40-unit LSTM has no
-  expert or sequence-parallel structure (the recurrence is sequential in
-  time; context is bounded by windowed BPTT — SURVEY.md §5), and pipeline
-  stages of tiny layers would be ICI-latency-bound. Sequence-level scaling
-  is instead obtained by sharding *independent sequences* over ``dp``
-  (batched multi-sequence inference, the BASELINE stretch config).
+* **pp** — layer stages with a chunked-time wavefront schedule for the one
+  workload dp cannot shard, batch-1 whole-run inference over a single long
+  sequence — see ``parallel/pipeline.py``.
+* **sp / ep** — deliberately not used: the recurrence is sequential in
+  time (no ring/Ulysses analog is exact for a nonlinear scan; context is
+  bounded by windowed BPTT — SURVEY.md §5) and there is no expert
+  structure. Sequence-level scaling is instead obtained by sharding
+  *independent sequences* over ``dp`` (batched multi-sequence inference,
+  the BASELINE stretch config).
 
 The reference has no analog of any of this — it is single-process Keras
 (SURVEY.md §2).

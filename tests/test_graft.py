@@ -64,5 +64,6 @@ def test_dryrun_multichip_driver_environment():
         "check singular_finetune_dp_parity: OK",
         "check reduced_batched_dp_parity: OK",
         "check pallas_fast_shardmap_parity: OK",
+        "check pipeline_pp_parity: OK",
     ):
         assert line in res.stdout, f"missing sub-check: {line}"
