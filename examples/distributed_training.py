@@ -98,6 +98,23 @@ def main():
     print(f"reduced prediction finite: {np.isfinite(pred).all()}  "
           f"({pred.shape[0]} steps)")
 
+    # stage 4: pipeline-parallel whole-run inference — batch-1 single long
+    # sequence over a pp axis (layer stages + chunked-time wavefront,
+    # parallel/pipeline.py), the one workload dp can't shard; here on the
+    # compressed model via its exact folded two-step stage packing
+    from svd_lstm_tpu.parallel.pipeline import make_pipeline_inference
+
+    S = min(len(units), n_dev)
+    while len(units) % S:
+        S -= 1
+    T = min(ds.X_test.shape[1], 1024 if args.quick else 8192)
+    x1 = ds.X_test[:, :T]
+    pp_run = make_pipeline_inference(mesh, n_stages=S, ct=128)
+    pp_pred = np.asarray(pp_run(rmodel, x1))[0, :, 0]
+    err = float(np.max(np.abs(pp_pred - pred[:T])))
+    print(f"pp inference ({S} stages, T={T}): max|pp - direct| = {err:.2e}")
+    assert err < 1e-4
+
 
 if __name__ == "__main__":
     main()

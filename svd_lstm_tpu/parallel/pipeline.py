@@ -43,6 +43,14 @@ factor) is zero-row-padded to width n and the input zero-padded to width
 n so every stage runs the same stacked shapes — extra columns of x meet
 zero rows of the kernel, contributing exactly nothing (the same trick the
 fused training kernels use, ops/pallas_train.py).
+
+Training deliberately does NOT go through pp: the training workload is
+windowed BPTT over thousands of independent windows (SURVEY.md §5), where
+dp sharding is bubble-free and collective-light (one grad psum per step),
+strictly dominating a wavefront's fill/drain bubbles and per-tick
+activation + cotangent transfers for these layer sizes. pp exists for the
+workload that has no batch axis to shard — deployment-shaped whole-run
+inference.
 """
 
 from __future__ import annotations
@@ -267,7 +275,7 @@ def make_pipeline_inference(
         return jax.lax.psum(jnp.where(is_last, out, jnp.zeros_like(out)), "pp")
 
     @jax.jit
-    def run(params, X):
+    def _run(params, X):
         B, T, d = X.shape
         if isinstance(params, ReducedModelParams):
             w = _pack_stages_reduced(params, S)
@@ -295,5 +303,14 @@ def make_pipeline_inference(
         if return_sequences:
             return h_last @ params.head.w + params.head.b
         return h_last[:, -1] @ params.head.w + params.head.b
+
+    def run(params, X):
+        # normalize onto the pp sub-mesh first: params that arrive committed
+        # to a different device set (e.g. the full dp mesh a fit_dp /
+        # finetune_dp run left them on) would otherwise clash with the
+        # device_puts the traced body issues
+        rep = NamedSharding(pp_mesh, P())
+        params = jax.device_put(params, rep)
+        return _run(params, jax.device_put(jnp.asarray(X), rep))
 
     return run

@@ -110,6 +110,21 @@ class TestPipelineInference:
         with pytest.raises(ValueError, match="devices"):
             make_pipeline_inference(mesh, n_stages=16)
 
+    def test_params_committed_to_other_mesh(self, mesh):
+        """Params left on the full dp mesh by fit_dp must still feed a
+        2-stage pp run (normalized onto the sub-mesh, not a device clash)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = init_stacked_lstm(jax.random.PRNGKey(5), 5, (8, 8))
+        committed = jax.device_put(params, NamedSharding(mesh, P()))
+        x = jnp.asarray(
+            np.random.default_rng(6).normal(size=(2, 20, 5)), jnp.float32
+        )
+        run = make_pipeline_inference(mesh, n_stages=2, ct=8)
+        np.testing.assert_allclose(
+            np.asarray(run(committed, x)), _ref(params, x), atol=1e-6
+        )
+
 
 class TestPipelineReduced:
     """The compressed family under the same wavefront: folded two-step
