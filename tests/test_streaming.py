@@ -92,3 +92,28 @@ def test_make_stream_fn_matches_stream_step(rng):
             y_p, state_p = fn(state_p, frame)
             y_r, state_r = stream_step(params, state_r, frame)
             np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r), atol=1e-5)
+
+
+def test_realtime_stream_example_smoke():
+    """examples/realtime_stream.py drives the deployment consumer loop
+    (JAX frame-at-a-time + chunked + native C++) end-to-end with parity
+    asserts inside the script."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo")
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "realtime_stream.py"
+    )
+    out = subprocess.run(
+        [sys.executable, script, "--quick", "--units", "8,8", "--rank", "5",
+         "--frames", "96"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "realtime streaming demo OK" in out.stdout or (
+        "native runtime unavailable" in out.stdout
+    ), out.stdout[-2000:]
