@@ -96,7 +96,12 @@ def main():
     # --- JAX chunked streaming (one dispatch per chunk) -----------------
     chunk = 64
     many = jax.jit(stream_many)
+    # compile every chunk shape the timed loop will see (incl. a partial
+    # tail when T % chunk != 0) so XLA compiles stay outside the clock
     _ = many(rmodel, init_stream(rmodel), jnp.asarray(frames[None, :chunk]))
+    if T % chunk:
+        _ = many(rmodel, init_stream(rmodel),
+                 jnp.asarray(frames[None, : T % chunk]))
     t0 = time.perf_counter()
     state = init_stream(rmodel)
     outs = []

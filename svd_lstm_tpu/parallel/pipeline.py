@@ -64,7 +64,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from svd_lstm_tpu.models.lstm import StackedLSTMParams, gate_update
 from svd_lstm_tpu.models.reduced import ReducedModelParams
-from svd_lstm_tpu.utils.linalg import fold_IC, pad_cols, pad_rows
+from svd_lstm_tpu.utils.linalg import (
+    fold_IC,
+    pad_cols,
+    pad_rows,
+    zeros_varying_like,
+)
 
 
 def _check_uniform(units, n_stages: int, d: int):
@@ -263,12 +268,11 @@ def make_pipeline_inference(
             )
             return buf, h, c, out
 
-        w00 = jnp.ravel(w[0])[0]
         init = (
-            jnp.zeros((B, ct, n), x.dtype) + 0.0 * w00,  # vma: varies like W
-            jnp.zeros((lps, B, n), x.dtype) + 0.0 * w00,
-            jnp.zeros((lps, B, n), x.dtype) + 0.0 * w00,
-            jnp.zeros((B, Tpad, n), x.dtype) + 0.0 * w00,
+            zeros_varying_like(w[0], (B, ct, n), x.dtype),  # vma: varies like W
+            zeros_varying_like(w[0], (lps, B, n), x.dtype),
+            zeros_varying_like(w[0], (lps, B, n), x.dtype),
+            zeros_varying_like(w[0], (B, Tpad, n), x.dtype),
         )
         _, _, _, out = jax.lax.fori_loop(0, C + S - 1, tick, init)
         # replicate the last stage's output to every device
