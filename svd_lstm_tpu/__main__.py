@@ -14,6 +14,10 @@ scripts top-to-bottom; here each stage is a subcommand over the library):
     export     — checkpoint → deployment artifacts (per-gate CSV, JSON,
                  optional int8-quantized npz): the reference's LabVIEW
                  export surface (code/load_preprocess.py:80-165) as a command
+    trace      — capture a jax.profiler trace of whole-run inference and
+                 print the per-op device-time breakdown (bench.trace); the
+                 diagnostic upgrade of the reference's perf_counter timing
+                 (code/svd_acceleration_v3.py:147-152)
 """
 
 import runpy
@@ -84,13 +88,59 @@ def _export(argv):
         )
 
 
+def _trace(argv):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m svd_lstm_tpu trace",
+        description="Capture a profiler trace of whole-run inference and "
+        "print the per-op device-time breakdown.",
+    )
+    ap.add_argument("outdir", help="trace output directory (TensorBoard logdir)")
+    ap.add_argument(
+        "--checkpoint", default=None, help="model checkpoint (default: random 4x40)"
+    )
+    ap.add_argument("--steps", type=int, default=2048, help="run length T")
+    ap.add_argument("--impl", default="auto", help="predict impl (auto|scan|fused|hybrid)")
+    ap.add_argument("--precision", default="exact", help="exact|high|fast")
+    ap.add_argument("--top", type=int, default=15, help="rows in the op table")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from svd_lstm_tpu.api import predict
+    from svd_lstm_tpu.bench.trace import format_breakdown, summarize
+
+    if args.checkpoint:
+        from svd_lstm_tpu.io.checkpoint import load_params
+
+        params = load_params(args.checkpoint)
+    else:
+        from svd_lstm_tpu.models.lstm import init_stacked_lstm
+
+        params = init_stacked_lstm(jax.random.key(0))
+    d = params.layers[0].W.shape[0]
+    x = jax.random.normal(jax.random.key(1), (args.steps, d), jnp.float32)
+    fn = jax.jit(lambda p, xx: predict(p, xx, impl=args.impl, precision=args.precision))
+    s = summarize(fn, params, x, out_dir=args.outdir, top=args.top)
+    print(f"device total: {s['device_ms']:.3f} ms  (T={args.steps}, impl={args.impl}, "
+          f"precision={args.precision})")
+    print(format_breakdown(s["ops"], total_ms=s["device_ms"]))
+    print(f"\ntrace -> {args.outdir}  (view: tensorboard --logdir {args.outdir}, "
+          "profile plugin; or load the *.trace.json.gz in ui.perfetto.dev)")
+
+
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "export":
         _export(sys.argv[2:])
         return
+    if len(sys.argv) >= 2 and sys.argv[1] == "trace":
+        _trace(sys.argv[2:])
+        return
     if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(__doc__)
-        print("commands:", ", ".join([*_COMMANDS, "export"]))
+        print("commands:", ", ".join([*_COMMANDS, "export", "trace"]))
         raise SystemExit(2)
     script = os.path.join(_HERE, _COMMANDS[sys.argv[1]])
     sys.argv = [script] + sys.argv[2:]

@@ -1,0 +1,178 @@
+"""Measured-best implementation selection with a persistent cache.
+
+``api.predict(impl="auto")`` routes through a selection table that was
+fitted empirically on v5e (see the api module docstring). That table is a
+snapshot: a different TPU generation, an unusual model shape, or a future
+compiler can move the crossover points. This module re-derives the choice
+*on the device actually present* — it times every implementation that is
+valid for the given model/input (``bench.devtime`` device time, so the
+numbers mean what they say even through a tunneled backend) and returns
+the winner, optionally memoized to a JSON cache keyed by model family,
+layer dimensions, input shape, precision, and backend platform.
+
+The reference had no analog — it hardcoded one execution path and
+published the resulting 1.31–1.39× loss (plots/timing_plot.png). Here
+"which path wins" is a measurement, not an assumption.
+
+Usage::
+
+    from svd_lstm_tpu.bench.autotune import autotune, predict_tuned
+
+    choice = autotune(params, x)            # TuneResult: winner + table
+    y = predict_tuned(params, x)            # measure once, then cached
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from svd_lstm_tpu.models.lstm import StackedLSTMParams
+from svd_lstm_tpu.models.reduced import ReducedModelParams
+from svd_lstm_tpu.models.singular import SingularModelParams
+
+
+class TuneResult(NamedTuple):
+    impl: str                      # winning impl for api.predict
+    ms: float                      # its measured device time
+    table: dict[str, float]        # impl -> ms for every valid candidate
+    failed: dict[str, str]         # impl -> error for candidates that died
+
+
+def _family(params) -> str:
+    if isinstance(params, StackedLSTMParams):
+        return "dense"
+    if isinstance(params, SingularModelParams):
+        return "singular"
+    if isinstance(params, ReducedModelParams):
+        return "reduced"
+    raise TypeError(f"unknown model params: {type(params)}")
+
+
+def _dims(params) -> list:
+    """Per-layer (units, stored-weight count) — units pins the kernel
+    family's width rules, the weight count pins input dim / ranks / split
+    vs merged without family-specific field spelunking."""
+    return [
+        (int(l.units), int(sum(x.size for x in jax.tree_util.tree_leaves(l))))
+        for l in params.layers
+    ]
+
+
+def cache_key(params, x, precision: str) -> str:
+    """Stable string key: family, per-layer (in, units), input shape,
+    precision, backend platform."""
+    return json.dumps(
+        {
+            "family": _family(params),
+            "dims": _dims(params),
+            "x": tuple(int(s) for s in x.shape),
+            "precision": precision,
+            "platform": jax.devices()[0].platform,
+        },
+        sort_keys=True,
+    )
+
+
+def candidates(params, x) -> list[str]:
+    """Implementations that api.predict accepts for this model/input."""
+    batched = x.ndim == 3
+    if batched:
+        return ["auto", "scan"]
+    cands = ["scan", "hybrid"]
+    n = max(l.units for l in params.layers)
+    if n <= 128:
+        cands.insert(1, "fused")
+    return cands
+
+
+def autotune(
+    params,
+    x,
+    precision: str = "exact",
+    impls: Sequence[str] | None = None,
+    repeats: int = 2,
+) -> TuneResult:
+    """Time every valid ``api.predict`` implementation and pick the winner.
+
+    Candidates that fail to compile/execute on this backend (e.g. Pallas
+    kernels off-TPU) are recorded in ``failed`` and skipped — at least the
+    XLA scan always survives. ``impls`` overrides the candidate list.
+    """
+    from svd_lstm_tpu.api import predict
+    from svd_lstm_tpu.bench.devtime import device_time_ms
+
+    x = jnp.asarray(x, jnp.float32)
+    table: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    for impl in impls if impls is not None else candidates(params, x):
+        fn = jax.jit(lambda p, xx, i=impl: predict(p, xx, impl=i, precision=precision))
+        try:
+            table[impl] = device_time_ms(fn, params, x, repeats=repeats)
+        except Exception as e:  # noqa: BLE001 — per-candidate isolation
+            failed[impl] = f"{type(e).__name__}: {e}"
+    if not table:
+        raise RuntimeError(f"every candidate failed: {failed}")
+    best = min(table, key=table.get)
+    return TuneResult(impl=best, ms=table[best], table=table, failed=failed)
+
+
+# ---------------------------------------------------------------- cache --
+
+_MEM_CACHE: dict[str, str] = {}
+
+
+def default_cache_path() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    return os.path.join(base, "svd_lstm_tpu", "autotune.json")
+
+
+def _load_disk(path: str) -> dict[str, str]:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _store_disk(path: str, key: str, impl: str) -> None:
+    data = _load_disk(path)
+    data[key] = impl
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def tuned_impl(
+    params, x, precision: str = "exact", cache_path: str | None = None
+) -> str:
+    """Best impl for this (model, input, precision, platform) — measured
+    once, then served from the in-memory + on-disk cache. Pass
+    ``cache_path=""`` to disable the disk layer."""
+    if cache_path is None:
+        cache_path = default_cache_path()
+    key = cache_key(params, x, precision)
+    impl = _MEM_CACHE.get(key)
+    if impl is None and cache_path:
+        impl = _load_disk(cache_path).get(key)
+    if impl is None:
+        impl = autotune(params, x, precision=precision).impl
+        if cache_path:
+            _store_disk(cache_path, key, impl)
+    _MEM_CACHE[key] = impl
+    return impl
+
+
+def predict_tuned(params, x, precision: str = "exact", cache_path: str | None = None):
+    """``api.predict`` through the measured-best implementation."""
+    from svd_lstm_tpu.api import predict
+
+    return predict(
+        params, x, impl=tuned_impl(params, x, precision, cache_path), precision=precision
+    )

@@ -1,0 +1,68 @@
+"""bench.trace: persistent profiler capture + per-op breakdown (the
+diagnostic upgrade of the reference's perf_counter-only timing,
+code/svd_acceleration_v3.py:147-152). Runs on the CPU profiler — events
+are host-side but the capture/parse/aggregate path is identical."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from svd_lstm_tpu.__main__ import _trace
+from svd_lstm_tpu.bench.trace import (
+    OpStat,
+    capture_trace,
+    format_breakdown,
+    op_breakdown,
+    summarize,
+)
+
+
+def _toy_fn():
+    @jax.jit
+    def f(a, b):
+        return jnp.tanh(a @ b).sum()
+
+    k = jax.random.PRNGKey(0)
+    a = jax.random.normal(k, (64, 64))
+    return f, (a, a)
+
+
+def test_capture_trace_persists_and_breaks_down(tmp_path):
+    f, args = _toy_fn()
+    out = capture_trace(f, *args, out_dir=str(tmp_path / "tr"))
+    assert os.path.isdir(out)
+    # a real trace file landed
+    found = []
+    for root, _, files in os.walk(out):
+        found += [f for f in files if f.endswith(".trace.json.gz")]
+    assert found, "no trace file produced"
+
+    stats = op_breakdown(out)
+    assert stats and all(isinstance(s, OpStat) for s in stats)
+    assert all(s.total_ms >= 0 and s.count >= 1 for s in stats)
+    # sorted descending by total
+    totals = [s.total_ms for s in stats]
+    assert totals == sorted(totals, reverse=True)
+    # scaffolding filtered
+    assert not any(s.name.startswith("$") or "profiler" in s.name for s in stats)
+    # top truncation
+    assert len(op_breakdown(out, top=1)) == 1
+
+
+def test_summarize_and_format(tmp_path):
+    f, args = _toy_fn()
+    s = summarize(f, *args, out_dir=str(tmp_path / "tr"), top=5)
+    assert s["device_ms"] > 0
+    assert 0 < len(s["ops"]) <= 5
+    table = format_breakdown(s["ops"], total_ms=s["device_ms"])
+    assert s["ops"][0].name[:20] in table.split("\n")[1]
+    assert "%" in table
+    assert format_breakdown([]) == "(no workload events in trace)"
+
+
+def test_cli_trace_random_model(tmp_path, capsys):
+    _trace([str(tmp_path / "tr"), "--steps", "8", "--top", "5"])
+    out = capsys.readouterr().out
+    assert "device total:" in out
+    assert "trace ->" in out
