@@ -120,7 +120,8 @@ def _trace(argv):
         from svd_lstm_tpu.models.lstm import init_stacked_lstm
 
         params = init_stacked_lstm(jax.random.key(0))
-    d = params.layers[0].W.shape[0]
+    # every model family (dense/singular/reduced) exposes input_dim
+    d = params.layers[0].input_dim
     x = jax.random.normal(jax.random.key(1), (args.steps, d), jnp.float32)
     fn = jax.jit(lambda p, xx: predict(p, xx, impl=args.impl, precision=args.precision))
     s = summarize(fn, params, x, out_dir=args.outdir, top=args.top)

@@ -8,7 +8,8 @@ compiler can move the crossover points. This module re-derives the choice
 valid for the given model/input (``bench.devtime`` device time, so the
 numbers mean what they say even through a tunneled backend) and returns
 the winner, optionally memoized to a JSON cache keyed by model family,
-layer dimensions, input shape, precision, and backend platform.
+layer dimensions, input shape and dtype, precision, and backend device
+kind (not just platform — crossovers move between TPU generations).
 
 The reference had no analog — it hardcoded one execution path and
 published the resulting 1.31–1.39× loss (plots/timing_plot.png). Here
@@ -64,15 +65,20 @@ def _dims(params) -> list:
 
 
 def cache_key(params, x, precision: str) -> str:
-    """Stable string key: family, per-layer (in, units), input shape,
-    precision, backend platform."""
+    """Stable string key: family, per-layer (in, units), input shape and
+    dtype, precision, backend device kind. ``device_kind`` (e.g. 'TPU v5e'
+    vs 'TPU v4'), not just platform — crossover points move between TPU
+    generations, so a cached winner must not outlive the device it was
+    measured on."""
+    dev = jax.devices()[0]
     return json.dumps(
         {
             "family": _family(params),
             "dims": _dims(params),
             "x": tuple(int(s) for s in x.shape),
+            "dtype": str(jnp.result_type(x)),
             "precision": precision,
-            "platform": jax.devices()[0].platform,
+            "device": f"{dev.platform}:{dev.device_kind}",
         },
         sort_keys=True,
     )
@@ -106,7 +112,9 @@ def autotune(
     from svd_lstm_tpu.api import predict
     from svd_lstm_tpu.bench.devtime import device_time_ms
 
-    x = jnp.asarray(x, jnp.float32)
+    # Measure in the caller's dtype — a bf16 input times differently
+    # (single-pass vs 3-pass matmuls) and has its own cache entry.
+    x = jnp.asarray(x)
     table: dict[str, float] = {}
     failed: dict[str, str] = {}
     for impl in impls if impls is not None else candidates(params, x):

@@ -25,13 +25,21 @@ import jax
 _BIG_TRACE_BYTES = 64 * 1024 * 1024
 
 
-def _trace_dir_events(trace_dir: str):
+def _trace_dir_events(trace_dir: str, full: bool = False):
+    """Complete ('X') events of the newest trace file under ``trace_dir``.
+
+    ``full=False`` (the measurement path) switches to a regex fast path on
+    traces over 64 MB that keeps only the top-level ``jit_*`` executable
+    events — enough for :func:`_device_exec_ms`, pathologically cheaper
+    than a full json parse. Pass ``full=True`` when every event is needed
+    (the ``bench.trace`` per-op breakdown), at full parse cost.
+    """
     paths = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
     if not paths:
         raise RuntimeError(f"no trace produced under {trace_dir}")
     with gzip.open(paths[-1]) as f:
         raw = f.read()
-    if len(raw) > _BIG_TRACE_BYTES:
+    if not full and len(raw) > _BIG_TRACE_BYTES:
         # Long scans emit per-iteration events; full json parse of multi-
         # hundred-MB traces is pathologically slow. Regex-scan only the
         # top-level executable events instead.

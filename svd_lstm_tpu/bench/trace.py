@@ -34,7 +34,9 @@ class OpStat(NamedTuple):
 # Event names that are profiler/runtime scaffolding, not workload:
 # host-side dispatch wrappers (PjitFunction/PJRT/ParseArguments span the
 # whole call including dispatch, so they'd dwarf and double-count the
-# actual executable events) and profiler internals.
+# actual executable events), the top-level jit_* executable wrapper (it IS
+# the device total — listing it as an op row would double-count every
+# child op against itself), and profiler internals.
 _SCAFFOLD_PREFIXES = (
     "$",
     "process_",
@@ -44,6 +46,7 @@ _SCAFFOLD_PREFIXES = (
     "PJRT_",
     "ParseArguments",
     "PythonRefManager",
+    "jit_",
 )
 _SCAFFOLD_SUBSTRINGS = ("profiler", "TraceMe", "Xprof")
 
@@ -72,16 +75,25 @@ def capture_trace(fn: Callable, *args, out_dir: str, warmup: int = 1) -> str:
     return out_dir
 
 
-def op_breakdown(trace_dir: str, top: int = 0) -> list[OpStat]:
+def op_breakdown(trace_dir, top: int = 0) -> list[OpStat]:
     """Aggregate complete ('X') events in a captured trace by name.
 
-    Returns stats sorted by total duration, descending; ``top`` truncates
-    (0 = all). Scaffolding events (profiler internals, process metadata)
-    are dropped. Works on traces from :func:`capture_trace` or any
-    ``jax.profiler.trace`` output directory.
+    ``trace_dir`` is a trace directory (from :func:`capture_trace` or any
+    ``jax.profiler.trace`` output) or an already-parsed event list. Returns
+    stats sorted by total duration, descending; ``top`` truncates (0 =
+    all). Scaffolding events (profiler internals, process metadata, the
+    top-level jit_* wrapper) are dropped. Directories are parsed with
+    ``full=True`` — the devtime fast path for >64 MB traces keeps only the
+    jit_* wrappers, which is exactly what a breakdown must NOT reduce to,
+    so the diagnostic surface pays the full parse.
     """
+    events = (
+        trace_dir
+        if not isinstance(trace_dir, (str, os.PathLike))
+        else _trace_dir_events(trace_dir, full=True)
+    )
     totals: dict[str, list[float]] = {}
-    for e in _trace_dir_events(trace_dir):
+    for e in events:
         name = str(e.get("name", ""))
         if not _is_workload_event(name):
             continue
@@ -119,9 +131,9 @@ def summarize(fn: Callable, *args, out_dir: str, top: int = 15, warmup: int = 1)
     breakdown.
     """
     capture_trace(fn, *args, out_dir=out_dir, warmup=warmup)
-    events = _trace_dir_events(out_dir)
+    events = _trace_dir_events(out_dir, full=True)
     return {
         "trace_dir": out_dir,
         "device_ms": _device_exec_ms(events),
-        "ops": op_breakdown(out_dir, top=top),
+        "ops": op_breakdown(events, top=top),
     }

@@ -22,6 +22,7 @@ from __future__ import annotations
 import warnings
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -195,32 +196,36 @@ def make_reduced_model(
     return ReducedModelParams(layers=layers, head=smodel.head)
 
 
+def _dense_from_factors(left, sigma, right):
+    """(left · diag(σ)) · right in jnp — merged (2-D) or per-gate (3-D
+    stacked, gate blocks concatenated along columns in Keras [i|f|c|o]
+    order)."""
+    if left.ndim == 3:  # split: (4, d, k) × (4, k) × (4, k, n)
+        scaled = left * sigma[:, None, :]
+        per_gate = jnp.einsum(
+            "gdk,gkn->gdn", scaled, right, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.transpose(per_gate, (1, 0, 2)).reshape(per_gate.shape[1], -1)
+    return jnp.dot(left * sigma, right, precision=jax.lax.Precision.HIGHEST)
+
+
 def singular_to_dense(smodel: SingularModelParams, dtype=jnp.float32) -> StackedLSTMParams:
     """Collapse a singular model back to dense parameters — exact
     (W = (U·Σ)·Vᵀ per matrix / per gate). Inverse of ``make_singular_model``
     up to float rounding; used for export and for running a fine-tuned
-    singular model on the dense fast path."""
-    layers = []
-    for p in smodel.layers:
-        if p.split:
-            Wg = [
-                np.asarray((p.wl[g] * p.ws[g]) @ p.wr[g]) for g in range(4)
-            ]
-            Ug = [
-                np.asarray((p.ul[g] * p.us[g]) @ p.ur[g]) for g in range(4)
-            ]
-            W = np.concatenate(Wg, axis=1)
-            U = np.concatenate(Ug, axis=1)
-        else:
-            W = np.asarray((p.wl * p.ws) @ p.wr)
-            U = np.asarray((p.ul * p.us) @ p.ur)
-        layers.append(
-            LSTMLayerParams(
-                W=jnp.asarray(W, dtype), U=jnp.asarray(U, dtype),
-                b=jnp.asarray(np.asarray(p.b), dtype),
-            )
+    singular model on the dense fast path. Pure jnp so it traces under jit
+    (``api.predict`` reaches it through the fused batch-1 route and is
+    itself jittable); for gradients through the reconstruction use
+    ``ops.singular_train.singular_dense_view``, which skips the dtype cast."""
+    layers = tuple(
+        LSTMLayerParams(
+            W=_dense_from_factors(p.wl, p.ws, p.wr).astype(dtype),
+            U=_dense_from_factors(p.ul, p.us, p.ur).astype(dtype),
+            b=jnp.asarray(p.b, dtype),
         )
-    return StackedLSTMParams(layers=tuple(layers), head=smodel.head)
+        for p in smodel.layers
+    )
+    return StackedLSTMParams(layers=layers, head=smodel.head)
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,10 @@ class LSTMLayerParams(NamedTuple):
     def units(self) -> int:
         return self.U.shape[0]
 
+    @property
+    def input_dim(self) -> int:
+        return self.W.shape[0]
+
 
 class DenseParams(NamedTuple):
     w: jax.Array  # (in, out)

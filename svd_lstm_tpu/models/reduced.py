@@ -52,6 +52,12 @@ class ReducedLayerParams(NamedTuple):
             return self.uB[0].shape[0]
         return self.uB.shape[0]
 
+    @property
+    def input_dim(self) -> int:
+        if self.split:
+            return self.wB[0].shape[0]
+        return self.wB.shape[0]
+
     def weight_count(self) -> int:
         """Stored-weight count — the metric the reference reports
         (code/svd_acceleration_v3.py:160-170)."""

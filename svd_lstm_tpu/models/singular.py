@@ -55,6 +55,10 @@ class SingularLayerParams(NamedTuple):
     def units(self) -> int:
         return self.ul.shape[-2]
 
+    @property
+    def input_dim(self) -> int:
+        return self.wl.shape[1] if self.split else self.wl.shape[0]
+
 
 class SingularModelParams(NamedTuple):
     layers: Tuple[SingularLayerParams, ...]

@@ -26,6 +26,23 @@ import numpy as np
 import pytest
 
 REFERENCE_DIR = os.environ.get("REFERENCE_DIR", "/root/reference")
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def subprocess_env(**overrides) -> dict:
+    """Environment for subprocess tests: the repo prepended to PYTHONPATH
+    with every existing entry preserved (CLAUDE.md: never overwrite
+    PYTHONPATH — the TPU plugin may live in another entry), plus
+    ``overrides``. An override of ``None`` removes the variable."""
+    env = dict(os.environ)
+    for k, v in overrides.items():
+        if v is None:
+            env.pop(k, None)
+        else:
+            env[k] = v
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and p != REPO_DIR]
+    env["PYTHONPATH"] = os.pathsep.join([REPO_DIR] + pp)
+    return env
 
 
 @pytest.fixture(scope="session")

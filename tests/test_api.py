@@ -85,3 +85,32 @@ def test_predict_rejects_bad_args(models, rng):
     for impl in ("fused", "hybrid"):  # batch-1-only kernels refuse batched input
         with pytest.raises(ValueError):
             st.predict(dense, xb, impl=impl)
+
+
+def test_predict_traces_under_jit_for_every_family(models, rng):
+    """predict must be jittable for every model family (the CLI trace
+    command, bench.autotune and user code all wrap it in jax.jit).
+    Regression: singular models reached a numpy-based singular_to_dense on
+    the fast/fused routes and died with TracerArrayConversionError."""
+    dense, smodel, rmodel = models
+    xb = jnp.asarray(rng.normal(size=(2, 12, 6)), jnp.float32)
+    for m in models:
+        fn = jax.jit(lambda p, x: st.predict(p, x, impl="scan", precision="fast"))
+        y = fn(m, xb)
+        assert y.shape == (2, 12, 1) and bool(jnp.all(jnp.isfinite(y)))
+
+
+@pytest.mark.parametrize("merged", [True, False])
+def test_singular_to_dense_jit_parity(merged, rng):
+    """singular_to_dense is pure jnp: identical traced and host-side."""
+    from svd_lstm_tpu.factor.svd import singular_to_dense
+
+    dense = init_stacked_lstm(jax.random.PRNGKey(3), 5, (8, 7))
+    smodel = st.make_singular_model(dense, merged_kernel=merged)
+    host = singular_to_dense(smodel)
+    traced = jax.jit(singular_to_dense)(smodel)
+    for a, b in zip(jax.tree.leaves(host), jax.tree.leaves(traced)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    # and the reconstruction is still the inverse of the factorization
+    for a, b in zip(jax.tree.leaves(host), jax.tree.leaves(dense)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -7,6 +7,7 @@ on TPU picks the kernel routes by measurement instead of the api table."""
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -49,6 +50,8 @@ def test_cache_key_distinguishes(model_x):
     assert k1 != at.cache_key(other, x, "exact")
     assert k1 != at.cache_key(params, x[:6], "exact")
     assert k1 != at.cache_key(params, x, "fast")
+    # a bf16 input times differently (single-pass dots) — own cache entry
+    assert k1 != at.cache_key(params, x.astype(jnp.bfloat16), "exact")
 
 
 def test_tuned_impl_caches_to_disk_and_memory(model_x, tmp_path, monkeypatch):

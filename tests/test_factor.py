@@ -258,3 +258,14 @@ def test_forward_fill_nan_leading_values():
     np.testing.assert_allclose(out, [2.0, 2.0, 2.0, 2.0, 5.0])
     with pytest.raises(ValueError, match="all-NaN"):
         forward_fill_nan(np.array([np.nan, np.nan]))
+
+
+@pytest.mark.parametrize("merged", [True, False])
+def test_input_dim_uniform_across_families(dense_model, merged):
+    """Every model family exposes layers[i].input_dim (the CLI trace path
+    builds inputs for an arbitrary checkpoint through it)."""
+    smodel = make_singular_model(dense_model, merged_kernel=merged)
+    rmodel = make_reduced_model(smodel, rank=12)
+    for model in (dense_model, smodel, rmodel):
+        assert model.layers[0].input_dim == 16
+        assert model.layers[1].input_dim == model.layers[0].units == 20

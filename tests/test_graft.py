@@ -38,12 +38,10 @@ def test_dryrun_multichip_driver_environment():
     """
     import subprocess
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    env.pop("XLA_FLAGS", None)
-    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and p != repo]
-    env["PYTHONPATH"] = os.pathsep.join([repo] + pp)
+    from conftest import REPO_DIR as repo
+    from conftest import subprocess_env
+
+    env = subprocess_env(JAX_PLATFORMS=None, XLA_FLAGS=None)
     res = subprocess.run(
         [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         env=env,

@@ -102,14 +102,10 @@ def test_realtime_stream_example_smoke():
     import subprocess
     import sys
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
-    # prepend the repo, preserving any extra entries (CLAUDE.md: never
-    # overwrite PYTHONPATH — the TPU plugin may live in another entry)
-    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and p != repo]
-    env["PYTHONPATH"] = os.pathsep.join([repo] + pp)
-    script = os.path.join(repo, "examples", "realtime_stream.py")
+    from conftest import REPO_DIR, subprocess_env
+
+    env = subprocess_env(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    script = os.path.join(REPO_DIR, "examples", "realtime_stream.py")
     out = subprocess.run(
         [sys.executable, script, "--quick", "--units", "8,8", "--rank", "5",
          "--frames", "96"],

@@ -44,8 +44,10 @@ def test_capture_trace_persists_and_breaks_down(tmp_path):
     # sorted descending by total
     totals = [s.total_ms for s in stats]
     assert totals == sorted(totals, reverse=True)
-    # scaffolding filtered
-    assert not any(s.name.startswith("$") or "profiler" in s.name for s in stats)
+    # scaffolding filtered — including the top-level jit_* wrapper, which
+    # is the device total and would double-count every child op against
+    # itself if listed as an op row
+    assert not any(s.name.startswith(("$", "jit_")) or "profiler" in s.name for s in stats)
     # top truncation
     assert len(op_breakdown(out, top=1)) == 1
 
@@ -66,3 +68,31 @@ def test_cli_trace_random_model(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "device total:" in out
     assert "trace ->" in out
+
+
+def test_big_trace_breakdown_uses_full_parse(tmp_path, monkeypatch):
+    """devtime's >64MB regex fast path keeps only jit_* wrapper events —
+    fine for the device total, fatal for a per-op breakdown. op_breakdown
+    must force the full parse so the diagnostic table never silently
+    degenerates to one wrapper row."""
+    import gzip
+    import json as _json
+
+    import svd_lstm_tpu.bench.devtime as devtime
+    from svd_lstm_tpu.bench.devtime import _trace_dir_events
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "X", "name": "jit_f", "dur": 1000.0},
+        {"ph": "X", "name": "fusion.1", "dur": 600.0},
+        {"ph": "X", "name": "while.2", "dur": 400.0},
+    ]
+    with gzip.open(d / "host.trace.json.gz", "wb") as f:
+        f.write(_json.dumps({"traceEvents": events}).encode())
+
+    monkeypatch.setattr(devtime, "_BIG_TRACE_BYTES", 1)  # force "big trace"
+    fast = _trace_dir_events(str(tmp_path))
+    assert {e["name"] for e in fast} == {"jit_f"}  # fast path: wrappers only
+    stats = op_breakdown(str(tmp_path))
+    assert {s.name for s in stats} == {"fusion.1", "while.2"}  # full, no wrapper

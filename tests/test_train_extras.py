@@ -60,18 +60,15 @@ def test_bench_cpu_smoke():
     JSON line on stdout."""
     import json
 
-    env = dict(os.environ)
-    env.update(
+    from conftest import subprocess_env
+
+    env = subprocess_env(
         PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
         BENCH_T="256", BENCH_UNITS="8,8", BENCH_RANK="5",
         # train engine runs the Pallas kernels in interpret mode on CPU —
         # keep the BPTT windows tiny so the smoke stays fast
         BENCH_TRAIN_T="12", BENCH_TRAIN_B="8", BENCH_TRAIN_B_BIG="16",
     )
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # prepend the repo, preserving extra PYTHONPATH entries (CLAUDE.md)
-    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p and p != repo]
-    env["PYTHONPATH"] = os.pathsep.join([repo] + pp)
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
         env=env, capture_output=True, text=True, timeout=600,
