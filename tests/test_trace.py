@@ -70,6 +70,24 @@ def test_cli_trace_random_model(tmp_path, capsys):
     assert "trace ->" in out
 
 
+def test_cli_trace_reduced_checkpoint(tmp_path, capsys):
+    """trace works on a non-dense checkpoint: it must derive the input
+    width from the family-generic input_dim property, not from a dense
+    layer's W.shape. Regression: reduced/singular checkpoints crashed on
+    the dense-only attribute."""
+    from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+    from svd_lstm_tpu.io.checkpoint import save_params
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+
+    dense = init_stacked_lstm(jax.random.PRNGKey(2), input_dim=6, units=(8, 8))
+    rmodel = make_reduced_model(make_singular_model(dense), rank=5)
+    ckpt = str(tmp_path / "reduced.npz")
+    save_params(ckpt, rmodel)
+    _trace([str(tmp_path / "tr"), "--checkpoint", ckpt, "--steps", "8", "--top", "5"])
+    out = capsys.readouterr().out
+    assert "device total:" in out
+
+
 def test_big_trace_breakdown_uses_full_parse(tmp_path, monkeypatch):
     """devtime's >64MB regex fast path keeps only jit_* wrapper events —
     fine for the device total, fatal for a per-op breakdown. op_breakdown
