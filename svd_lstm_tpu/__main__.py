@@ -101,8 +101,13 @@ def _trace(argv):
         "--checkpoint", default=None, help="model checkpoint (default: random 4x40)"
     )
     ap.add_argument("--steps", type=int, default=2048, help="run length T")
-    ap.add_argument("--impl", default="auto", help="predict impl (auto|scan|fused|hybrid)")
-    ap.add_argument("--precision", default="exact", help="exact|high|fast")
+    ap.add_argument(
+        "--impl", default="auto", choices=("auto", "scan", "fused", "hybrid"),
+        help="predict impl",
+    )
+    ap.add_argument(
+        "--precision", default="exact", choices=("exact", "high", "fast")
+    )
     ap.add_argument("--top", type=int, default=15, help="rows in the op table")
     args = ap.parse_args(argv)
 

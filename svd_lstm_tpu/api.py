@@ -54,6 +54,28 @@ def _max_units(params) -> int:
     return max(l.units for l in params.layers)
 
 
+def valid_impls(params, x, precision: str = "exact") -> list:
+    """Implementations with *distinct execution paths* for this (model,
+    input, precision) — the candidate set ``bench.autotune`` measures.
+
+    Lives next to the dispatch in :func:`predict` so the two cannot drift:
+    'auto' is omitted wherever it merely aliases a listed impl (batch-1
+    'auto' always resolves to fused/hybrid/scan; batched 'auto' only
+    diverges from 'scan' in fast mode on TPU, where it takes the Pallas
+    batched kernel), and 'fused' is omitted above its n ≤ 128 width rule
+    (predict would silently run the scan for a wide 'fused' request).
+    """
+    batched = x.ndim == 3
+    if batched:
+        if precision == "fast" and _on_tpu():
+            return ["auto", "scan"]
+        return ["scan"]
+    cands = ["scan", "hybrid"]
+    if _max_units(params) <= 128:
+        cands.insert(1, "fused")
+    return cands
+
+
 def predict(params, x, impl: str = "auto", precision: str = "exact"):
     """Whole-run inference.
 

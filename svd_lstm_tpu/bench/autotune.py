@@ -8,8 +8,9 @@ compiler can move the crossover points. This module re-derives the choice
 valid for the given model/input (``bench.devtime`` device time, so the
 numbers mean what they say even through a tunneled backend) and returns
 the winner, optionally memoized to a JSON cache keyed by model family,
-layer dimensions, input shape and dtype, precision, and backend device
-kind (not just platform — crossovers move between TPU generations).
+per-layer leaf shapes, parameter and input dtypes, input shape, precision,
+and backend device kind (not just platform — crossovers move between TPU
+generations).
 
 The reference had no analog — it hardcoded one execution path and
 published the resulting 1.31–1.39× loss (plots/timing_plot.png). Here
@@ -55,26 +56,33 @@ def _family(params) -> str:
 
 
 def _dims(params) -> list:
-    """Per-layer (units, stored-weight count) — units pins the kernel
-    family's width rules, the weight count pins input dim / ranks / split
-    vs merged without family-specific field spelunking."""
+    """Per-layer (units, every leaf's shape) — units pins the kernel
+    family's width rules; the full shape list pins input dim, per-gate
+    ranks and split vs merged exactly. (A summed weight count would
+    collide on per-gate rank *permutations*, which change kernel padding.)"""
     return [
-        (int(l.units), int(sum(x.size for x in jax.tree_util.tree_leaves(l))))
+        (
+            int(l.units),
+            [tuple(int(s) for s in x.shape) for x in jax.tree_util.tree_leaves(l)],
+        )
         for l in params.layers
     ]
 
 
 def cache_key(params, x, precision: str) -> str:
-    """Stable string key: family, per-layer (in, units), input shape and
-    dtype, precision, backend device kind. ``device_kind`` (e.g. 'TPU v5e'
-    vs 'TPU v4'), not just platform — crossover points move between TPU
-    generations, so a cached winner must not outlive the device it was
-    measured on."""
+    """Stable string key: family, per-layer leaf shapes, parameter dtype,
+    input shape and dtype, precision, backend device kind. ``device_kind``
+    (e.g. 'TPU v5e' vs 'TPU v4'), not just platform — crossover points
+    move between TPU generations, so a cached winner must not outlive the
+    device it was measured on. Parameter dtype is keyed for the same
+    reason as input dtype: a bf16-cast model changes matmul pass counts
+    and can move the crossovers."""
     dev = jax.devices()[0]
     return json.dumps(
         {
             "family": _family(params),
             "dims": _dims(params),
+            "pdtype": str(jnp.result_type(jax.tree_util.tree_leaves(params)[0])),
             "x": tuple(int(s) for s in x.shape),
             "dtype": str(jnp.result_type(x)),
             "precision": precision,
@@ -84,16 +92,15 @@ def cache_key(params, x, precision: str) -> str:
     )
 
 
-def candidates(params, x) -> list[str]:
-    """Implementations that api.predict accepts for this model/input."""
-    batched = x.ndim == 3
-    if batched:
-        return ["auto", "scan"]
-    cands = ["scan", "hybrid"]
-    n = max(l.units for l in params.layers)
-    if n <= 128:
-        cands.insert(1, "fused")
-    return cands
+def candidates(params, x, precision: str = "exact") -> list[str]:
+    """Implementations with distinct execution paths for this
+    (model, input, precision) — delegates to ``api.valid_impls`` so the
+    candidate set lives next to predict()'s dispatch and cannot drift
+    (e.g. batched 'auto' aliases 'scan' except in fast mode on TPU;
+    measuring both would pick a winner by noise)."""
+    from svd_lstm_tpu.api import valid_impls
+
+    return valid_impls(params, x, precision)
 
 
 def autotune(
@@ -117,7 +124,7 @@ def autotune(
     x = jnp.asarray(x)
     table: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for impl in impls if impls is not None else candidates(params, x):
+    for impl in impls if impls is not None else candidates(params, x, precision):
         fn = jax.jit(lambda p, xx, i=impl: predict(p, xx, impl=i, precision=precision))
         try:
             table[impl] = device_time_ms(fn, params, x, repeats=repeats)
@@ -148,13 +155,21 @@ def _load_disk(path: str) -> dict[str, str]:
 
 
 def _store_disk(path: str, key: str, impl: str) -> None:
-    data = _load_disk(path)
-    data[key] = impl
+    # The cache is one shared file (~/.cache): hold an exclusive lock
+    # across the read-modify-write so two concurrent processes tuning
+    # different models don't drop each other's (expensively measured)
+    # entries. os.replace keeps readers crash-safe either way.
+    import fcntl
+
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(data, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
+    with open(path + ".lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        data = _load_disk(path)
+        data[key] = impl
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
 
 
 def tuned_impl(

@@ -22,7 +22,6 @@ from __future__ import annotations
 import warnings
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -196,19 +195,6 @@ def make_reduced_model(
     return ReducedModelParams(layers=layers, head=smodel.head)
 
 
-def _dense_from_factors(left, sigma, right):
-    """(left · diag(σ)) · right in jnp — merged (2-D) or per-gate (3-D
-    stacked, gate blocks concatenated along columns in Keras [i|f|c|o]
-    order)."""
-    if left.ndim == 3:  # split: (4, d, k) × (4, k) × (4, k, n)
-        scaled = left * sigma[:, None, :]
-        per_gate = jnp.einsum(
-            "gdk,gkn->gdn", scaled, right, precision=jax.lax.Precision.HIGHEST
-        )
-        return jnp.transpose(per_gate, (1, 0, 2)).reshape(per_gate.shape[1], -1)
-    return jnp.dot(left * sigma, right, precision=jax.lax.Precision.HIGHEST)
-
-
 def singular_to_dense(smodel: SingularModelParams, dtype=jnp.float32) -> StackedLSTMParams:
     """Collapse a singular model back to dense parameters — exact
     (W = (U·Σ)·Vᵀ per matrix / per gate). Inverse of ``make_singular_model``
@@ -217,10 +203,15 @@ def singular_to_dense(smodel: SingularModelParams, dtype=jnp.float32) -> Stacked
     (``api.predict`` reaches it through the fused batch-1 route and is
     itself jittable); for gradients through the reconstruction use
     ``ops.singular_train.singular_dense_view``, which skips the dtype cast."""
+    # One canonical reconstruction: _dense_matrix is the layout-critical
+    # gate-ordering code shared with the differentiable training view.
+    # Imported lazily — the ops package pulls in the Pallas modules.
+    from svd_lstm_tpu.ops.singular_train import _dense_matrix
+
     layers = tuple(
         LSTMLayerParams(
-            W=_dense_from_factors(p.wl, p.ws, p.wr).astype(dtype),
-            U=_dense_from_factors(p.ul, p.us, p.ur).astype(dtype),
+            W=_dense_matrix(p.wl, p.ws, p.wr).astype(dtype),
+            U=_dense_matrix(p.ul, p.us, p.ur).astype(dtype),
             b=jnp.asarray(p.b, dtype),
         )
         for p in smodel.layers

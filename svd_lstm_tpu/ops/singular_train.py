@@ -78,10 +78,11 @@ def _dense_matrix(left, sigma, right):
 def singular_dense_view(sparams: SingularModelParams) -> StackedLSTMParams:
     """Traced, differentiable dense reconstruction of a singular model.
 
-    Unlike ``factor.svd.singular_to_dense`` (numpy, host-side, for export),
-    this stays in jnp so gradients flow from the dense kernels' dW/dU back
-    to (wl, ws, wr, ul, us, ur) — the factored-training replacement for the
-    reference's per-weight ``trainable`` flags
+    Same math as ``factor.svd.singular_to_dense`` (which shares
+    ``_dense_matrix`` but casts to a target dtype for export); this
+    cast-free view is the gradient path — dW/dU from the dense kernels
+    flows back to (wl, ws, wr, ul, us, ur) — the factored-training
+    replacement for the reference's per-weight ``trainable`` flags
     (reference code/svd_classes_v3.py:51-112).
     """
     layers = tuple(

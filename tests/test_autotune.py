@@ -29,7 +29,13 @@ def test_candidates_follow_api_rules(model_x):
     wide = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=4, units=(256,))
     assert at.candidates(wide, x) == ["scan", "hybrid"]  # fused is n<=128 only
     xb = x[None]
-    assert at.candidates(params, xb) == ["auto", "scan"]
+    # batched exact: 'auto' IS the scan — measuring both would pick a
+    # winner between identical code paths by noise
+    assert at.candidates(params, xb) == ["scan"]
+    assert at.candidates(params, xb, "high") == ["scan"]
+    # batched fast only diverges on TPU (the Pallas batched kernel)
+    expect = ["auto", "scan"] if jax.devices()[0].platform != "cpu" else ["scan"]
+    assert at.candidates(params, xb, "fast") == expect
 
 
 def test_autotune_survives_kernel_failures_and_picks_scan(model_x):
@@ -52,6 +58,37 @@ def test_cache_key_distinguishes(model_x):
     assert k1 != at.cache_key(params, x, "fast")
     # a bf16 input times differently (single-pass dots) — own cache entry
     assert k1 != at.cache_key(params, x.astype(jnp.bfloat16), "exact")
+    # ...and so does a bf16-cast MODEL (same shapes, different pass count)
+    from svd_lstm_tpu.utils.precision import cast_params
+
+    assert k1 != at.cache_key(cast_params(params, jnp.bfloat16), x, "exact")
+
+
+def test_cache_key_distinguishes_rank_permutations():
+    """Split reduced models whose per-gate ranks are permutations of each
+    other have identical total weight counts but different kernel shapes —
+    they must not share a cache entry."""
+    from svd_lstm_tpu.models.lstm import DenseParams
+    from svd_lstm_tpu.models.reduced import ReducedLayerParams, ReducedModelParams
+
+    d, n = 4, 8
+
+    def mk(ranks):
+        layer = ReducedLayerParams(
+            wB=tuple(jnp.zeros((d, r)) for r in ranks),
+            wC=tuple(jnp.zeros((r, n - r)) for r in ranks),
+            uB=tuple(jnp.zeros((n, r)) for r in ranks),
+            uC=tuple(jnp.zeros((r, n - r)) for r in ranks),
+            b=jnp.zeros(4 * n),
+        )
+        return ReducedModelParams(
+            layers=(layer,), head=DenseParams(w=jnp.zeros((n, 1)), b=jnp.zeros(1))
+        )
+
+    ra, rb = mk((2, 6, 4, 4)), mk((4, 4, 6, 2))
+    assert ra.layers[0].weight_count() == rb.layers[0].weight_count()
+    x = jax.random.normal(jax.random.PRNGKey(1), (12, d))
+    assert at.cache_key(ra, x, "exact") != at.cache_key(rb, x, "exact")
 
 
 def test_tuned_impl_caches_to_disk_and_memory(model_x, tmp_path, monkeypatch):
