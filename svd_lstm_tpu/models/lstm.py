@@ -72,6 +72,39 @@ def gate_update(z: jax.Array, c: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return h_new, c_new
 
 
+def gate_update_bwd(
+    z: jax.Array, c_prev: jax.Array, c_t: jax.Array, dh: jax.Array, dc: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Reverse of :func:`gate_update` at one step, from the recomputed
+    pre-activations ``z`` and the saved cell states. ``dh`` must already
+    contain every contribution into h_t (output cotangent + recurrent
+    carry + the layer above). Returns ``(dz, dc_prev)``.
+
+    ONE source of truth for the gradient formula: both Pallas backward
+    kernels (ops/pallas_train.py, ops/pallas_train_fused.py) call this, so
+    a fix to the cell gradient cannot miss a kernel. The hand-unrolled
+    copy in ops/pallas_train._trainable_bwd is kept as the readable
+    reference; jax autodiff of the scan is the independent oracle in
+    tests/test_pallas_train.py."""
+    n = c_prev.shape[-1]
+    i = jax.nn.sigmoid(z[..., :n])
+    f = jax.nn.sigmoid(z[..., n : 2 * n])
+    g = jnp.tanh(z[..., 2 * n : 3 * n])
+    o = jax.nn.sigmoid(z[..., 3 * n :])
+    tc = jnp.tanh(c_t)
+    dc_tot = dc + dh * o * (1.0 - tc * tc)
+    dz = jnp.concatenate(
+        [
+            dc_tot * g * i * (1.0 - i),
+            dc_tot * c_prev * f * (1.0 - f),
+            dc_tot * i * (1.0 - g * g),
+            dh * tc * o * (1.0 - o),
+        ],
+        axis=-1,
+    )
+    return dz, dc_tot * f
+
+
 def lstm_cell_step(
     params: LSTMLayerParams, x: jax.Array, h: jax.Array, c: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:

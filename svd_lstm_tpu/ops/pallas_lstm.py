@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from svd_lstm_tpu.models.lstm import StackedLSTMParams
+from svd_lstm_tpu.models.lstm import StackedLSTMParams, gate_update
 from svd_lstm_tpu.models.reduced import ReducedModelParams
 
 from svd_lstm_tpu.utils.linalg import (
@@ -85,13 +85,15 @@ def _time_loop(step, CT: int, unroll: int) -> None:
 # ---------------------------------------------------------------------------
 
 def _gates_p(z: jax.Array, c: jax.Array, npg: int) -> Tuple[jax.Array, jax.Array]:
-    """z: (1, 4*npg) P-layout; c: (1, npg)."""
-    i = jax.nn.sigmoid(z[:, 0:npg])
-    f = jax.nn.sigmoid(z[:, npg : 2 * npg])
-    g = jnp.tanh(z[:, 2 * npg : 3 * npg])
-    o = jax.nn.sigmoid(z[:, 3 * npg :])
-    c_new = f * c + i * g
-    return o * jnp.tanh(c_new), c_new
+    """P-layout gate update: z (rows, 4*npg), c (rows, npg).
+
+    ONE source of truth for the cell math: delegates to
+    ``models.lstm.gate_update`` (which the XLA scan reference and the
+    training kernels also use), so the kernels cannot silently diverge
+    from the scan they are tested against. ``npg`` is kept as a layout
+    assertion — in the P-layout the gate stride IS the state width."""
+    assert npg == c.shape[-1], (npg, c.shape)
+    return gate_update(z, c)
 
 
 def _roll(v: jax.Array, shift: int, interpret: bool) -> jax.Array:
@@ -349,6 +351,9 @@ def reduced_recurrence_pallas(
 # fully-fused whole-model kernels (batch-1 streaming)
 # ---------------------------------------------------------------------------
 
+@functools.partial(
+    jax.jit, static_argnames=("ct", "interpret", "unroll", "layout", "dot_precision")
+)
 def fused_dense_stack_pallas(
     params: StackedLSTMParams,
     x: jax.Array,
@@ -390,8 +395,7 @@ def fused_dense_stack_pallas(
         raise ValueError(f"unknown layout {layout!r}; expected 'auto' | 'p' | 'compact'")
     ks = [gate_group_size(n) if layout == "compact" else 1 for n in units]
     npgs = [_ceil_to(n, LANE) for n in units]
-    # per-layer (z width, state width)
-    zws = [(4 // k) * LANE if k > 1 else 4 * npg for k, npg in zip(ks, npgs)]
+    # per-layer state width (z widths are derived from the packed weights)
     sws = [LANE if k > 1 else npg for k, npg in zip(ks, npgs)]
     dp = _ceil_to(d, LANE)
 
@@ -461,6 +465,9 @@ def fused_dense_stack_pallas(
     return h_seq @ params.head.w + params.head.b
 
 
+@functools.partial(
+    jax.jit, static_argnames=("ct", "interpret", "unroll", "dot_precision")
+)
 def fused_reduced_stack_pallas(
     params: ReducedModelParams,
     x: jax.Array,

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from svd_lstm_tpu.models.lstm import StackedLSTMParams, gate_update
+from svd_lstm_tpu.models.lstm import StackedLSTMParams, gate_update, gate_update_bwd
 from svd_lstm_tpu.ops.pallas_batched import DEFAULT_BT, LANE, _ceil_to
 
 DEF = jax.lax.Precision.DEFAULT
@@ -171,25 +171,11 @@ def _pallas_bwd(xp, U, h_seq, c_seq, dh_seq, bt: int, interpret: bool):
         dh = dh_ref[:] + dh_scr[:]
         z = xp_ref[:] + jnp.dot(hp_ref[:], u_ref[:],
                                 preferred_element_type=jnp.float32, precision=DEF)
-        gi = jax.nn.sigmoid(z[:, :n])
-        gf = jax.nn.sigmoid(z[:, n : 2 * n])
-        gg = jnp.tanh(z[:, 2 * n : 3 * n])
-        go = jax.nn.sigmoid(z[:, 3 * n :])
-        tc = jnp.tanh(ct_ref[:])
-        dc_tot = dc_scr[:] + dh * go * (1.0 - tc * tc)
-        dz = jnp.concatenate(
-            [
-                dc_tot * gg * gi * (1.0 - gi),
-                dc_tot * cp_ref[:] * gf * (1.0 - gf),
-                dc_tot * gi * (1.0 - gg * gg),
-                dh * tc * go * (1.0 - go),
-            ],
-            axis=-1,
-        )
+        dz, dc_new = gate_update_bwd(z, cp_ref[:], ct_ref[:], dh, dc_scr[:])
         dxp_ref[:] = dz
         dh_scr[:] = jnp.dot(dz, ut_ref[:], preferred_element_type=jnp.float32,
                             precision=DEF)
-        dc_scr[:] = dc_tot * gf
+        dc_scr[:] = dc_new
         du_scr[:] += jnp.dot(hp_ref[:].T, dz,
                              preferred_element_type=jnp.float32, precision=DEF)
 
@@ -235,7 +221,12 @@ def _make_trainable(bt: int, interpret: bool):
 
     @jax.custom_vjp
     def rec(xp, U):
-        return _fwd_scan_hc(xp, U)[0]
+        # Non-differentiated calls (e.g. an eval forward through the same
+        # apply_fn) run the SAME Pallas kernel as the fwd rule below —
+        # custom_vjp only routes through fwd under jax.grad, and the old
+        # scan primal silently made plain forwards ~3x slower than the
+        # docstring promised.
+        return _pallas_fwd_hc(xp, U, bt, interpret)[0]
 
     def fwd(xp, U):
         h_seq, c_seq = _pallas_fwd_hc(xp, U, bt, interpret)

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from svd_lstm_tpu.models.lstm import StackedLSTMParams
+from svd_lstm_tpu.models.lstm import StackedLSTMParams, gate_update_bwd
 from svd_lstm_tpu.ops.pallas_batched import LANE
 from svd_lstm_tpu.ops.pallas_lstm import _gates_p
 from svd_lstm_tpu.utils.linalg import pad_cols, pad_gate_cols
@@ -192,22 +192,10 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
                           precision=DEF)
                 + w_refs[3 * i + 2][:]
             )
-            gi = jax.nn.sigmoid(z[:, :LANE])
-            gf = jax.nn.sigmoid(z[:, LANE : 2 * LANE])
-            gg = jnp.tanh(z[:, 2 * LANE : 3 * LANE])
-            go = jax.nn.sigmoid(z[:, 3 * LANE :])
-            ct = ca_ref[:, blk]
-            cp = cp_ref[:, blk]
-            tc = jnp.tanh(ct)
-            dc_tot = dc_scr[i][:] + dh * go * (1.0 - tc * tc)
-            dz = jnp.concatenate(
-                [
-                    dc_tot * gg * gi * (1.0 - gi),
-                    dc_tot * cp * gf * (1.0 - gf),
-                    dc_tot * gi * (1.0 - gg * gg),
-                    dh * tc * go * (1.0 - go),
-                ],
-                axis=-1,
+            # shared cell-gradient formula (models.lstm.gate_update_bwd);
+            # the gate stride here is the LANE-padded state block width
+            dz, dc_new = gate_update_bwd(
+                z, cp_ref[:, blk], ca_ref[:, blk], dh, dc_scr[i][:]
             )
             # weight-grad accumulation (VMEM-resident)
             acc[3 * i][: in_dims[i], :] += jnp.dot(
@@ -226,7 +214,7 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
             dh_scr[i][:] = jnp.dot(dz, wt_refs[2 * i + 1][:],
                                    preferred_element_type=jnp.float32,
                                    precision=DEF)
-            dc_scr[i][:] = dc_tot * gf
+            dc_scr[i][:] = dc_new
             dz_above = dz
 
         # dx from layer 0's dz

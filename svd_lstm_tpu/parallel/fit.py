@@ -38,7 +38,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from svd_lstm_tpu.config import TrainConfig
 from svd_lstm_tpu.data.batcher import split_train_random
 from svd_lstm_tpu.models.lstm import stacked_lstm_apply
-from svd_lstm_tpu.train.loop import TrainResult, mse_last_step
+from svd_lstm_tpu.train.loop import (
+    TrainResult,
+    drive_epochs,
+    make_val_fn,
+    mse_last_step,
+    shuffled_epoch_batches,
+)
 
 
 def fit_dp(
@@ -183,74 +189,30 @@ def fit_dp(
     )
     y_dev = jax.device_put(jnp.asarray(y_mini), NamedSharding(flat_mesh, P("dp")))
 
-    val_fn = None
-    if validation is not None:
-        # whole-run validation MSE each epoch on the exact pre-swap forward
-        # (reference passes validation_data to Keras fit,
-        # code/svd_acceleration_v3.py:126)
-        Xv = jnp.asarray(validation[0])
-        yv = jnp.asarray(np.asarray(validation[1]).reshape(1, -1))
-        val_fn = jax.jit(
-            lambda p: jnp.mean(
-                jnp.square(
-                    exact_apply_fn(p, Xv, return_sequences=True)[..., 0] - yv
-                )
-            )
+    # whole-run validation MSE each epoch on the exact pre-swap forward
+    # (reference passes validation_data to Keras fit,
+    # code/svd_acceleration_v3.py:126)
+    val_fn = make_val_fn(exact_apply_fn, validation)
+
+    def epoch_step(params, opt_state, epoch):
+        # same (seed + epoch) shuffle and dropout-key schedule as fit —
+        # the gather preserves X_dev's dp sharding
+        xs, ys, keys = shuffled_epoch_batches(
+            X_dev, y_dev, X_mini.shape[0], cfg, epoch, dropout_rng
+        )
+        params, opt_state, mean_loss = epoch_fn(params, opt_state, xs, ys, keys)
+        return params, opt_state, float(mean_loss)
+
+    def restore(host_tree):
+        # rollback snapshots are host copies; re-shard replicated
+        return jax.device_put(
+            jax.tree.map(jnp.asarray, host_tree), NamedSharding(flat_mesh, P())
         )
 
-    last_good = jax.device_get(params)
-    last_good_opt = jax.device_get(opt_state)
-    history = []
-    val_history = []
-    rollbacks = 0
-    best_loss = float("inf")
-    for epoch in range(cfg.epochs):
-        rng_e = np.random.default_rng(cfg.seed + epoch)
-        n_full = (X_mini.shape[0] // cfg.batch_size) * cfg.batch_size
-        perm = jnp.asarray(rng_e.permutation(X_mini.shape[0])[:n_full])
-        xs = X_dev[perm].reshape(-1, cfg.batch_size, *X_dev.shape[1:])
-        ys = y_dev[perm].reshape(-1, cfg.batch_size)
-        keys = None
-        if dropout_rng is not None:
-            # fresh per-batch masks, deterministic given (dropout_rng,
-            # epoch) — the same schedule as train.loop.fit
-            keys = jax.random.split(
-                jax.random.fold_in(dropout_rng, epoch), xs.shape[0]
-            )
-        params, opt_state, mean_loss = epoch_fn(params, opt_state, xs, ys, keys)
-        epoch_loss = float(mean_loss)
-        if cfg.nan_rollback and not np.isfinite(epoch_loss):
-            params = jax.device_put(
-                jax.tree.map(jnp.asarray, last_good), NamedSharding(flat_mesh, P())
-            )
-            opt_state = jax.device_put(
-                jax.tree.map(jnp.asarray, last_good_opt),
-                NamedSharding(flat_mesh, P()),
-            )
-            rollbacks += 1
-            if verbose:
-                print(f"epoch {epoch}: NaN loss — rolled back")
-            continue
-        last_good = jax.device_get(params)
-        last_good_opt = jax.device_get(opt_state)
-        history.append(epoch_loss)
-        msg = f"epoch {epoch}: loss {epoch_loss:.6f}"
-        if val_fn is not None:
-            val_loss = float(val_fn(params))
-            val_history.append(val_loss)
-            msg += f"  val {val_loss:.6f}"
-        if checkpoint_path is not None and epoch_loss < best_loss:
-            # save-best-by-loss, the reference's ModelCheckpoint semantics
-            # (old_versions/train_full_model.py:108-116)
-            best_loss = epoch_loss
-            from svd_lstm_tpu.io.checkpoint import save_params
-
-            save_params(checkpoint_path, params)
-        if verbose:
-            print(msg)
-    return TrainResult(
-        params=params, history=history, rollbacks=rollbacks,
-        val_history=val_history, opt_state=opt_state,
+    return drive_epochs(
+        cfg, params, opt_state, epoch_step,
+        val_fn=val_fn, checkpoint_path=checkpoint_path, verbose=verbose,
+        restore=restore,
     )
 
 

@@ -44,6 +44,113 @@ def mse_last_step(params, x, y, apply_fn, rng=None) -> jax.Array:
     return jnp.mean(jnp.square(pred - y))
 
 
+def make_val_fn(exact_apply_fn: Callable, validation: tuple | None):
+    """Jitted whole-run validation MSE on the EXACT forward (config.py
+    invariant: validation metrics never run at relaxed precision), or None.
+    Accepts Xv (B, T, d) with yv shaped (T,), (B, T) or (B*T,) — both sides
+    are flattened (reshape(1, -1) on yv alone would break B > 1)."""
+    if validation is None:
+        return None
+    Xv = jnp.asarray(validation[0])
+    yv = jnp.asarray(np.asarray(validation[1]).reshape(-1))
+    return jax.jit(
+        lambda p: jnp.mean(
+            jnp.square(
+                exact_apply_fn(p, Xv, return_sequences=True)[..., 0].reshape(-1)
+                - yv
+            )
+        )
+    )
+
+
+def shuffled_epoch_batches(
+    X_dev, y_dev, n_windows: int, cfg: TrainConfig, epoch: int, dropout_rng=None
+):
+    """One epoch's shuffled minibatch stack: (xs, ys, keys) with xs
+    (steps, batch, T, d). The shuffle is a device-side gather driven by a
+    host permutation (re-shipping the 256 MB window set per epoch costs
+    ~30 s through a tunneled backend). The (seed + epoch) permutation and
+    the per-batch dropout-key schedule are the contract ``fit`` and
+    ``fit_dp`` both follow — their loss-history parity is tested at dp=8
+    (tests/test_parallel_fit.py)."""
+    rng_e = np.random.default_rng(cfg.seed + epoch)
+    n_full = (n_windows // cfg.batch_size) * cfg.batch_size
+    perm = jnp.asarray(rng_e.permutation(n_windows)[:n_full])
+    xs = X_dev[perm].reshape(-1, cfg.batch_size, *X_dev.shape[1:])
+    ys = y_dev[perm].reshape(-1, cfg.batch_size)
+    keys = None
+    if dropout_rng is not None:
+        # fresh per-batch masks, Keras-style (a new mask set each cell
+        # build/call), deterministic given (dropout_rng, epoch)
+        keys = jax.random.split(jax.random.fold_in(dropout_rng, epoch), xs.shape[0])
+    return xs, ys, keys
+
+
+def drive_epochs(
+    cfg: TrainConfig,
+    params: Any,
+    opt_state: Any,
+    epoch_step: Callable,
+    *,
+    val_fn: Callable | None = None,
+    checkpoint_path: str | None = None,
+    verbose: bool = False,
+    restore: Callable | None = None,
+) -> TrainResult:
+    """The epoch driver shared by ``fit`` and ``parallel.fit_dp``: NaN
+    rollback, loss/validation history, save-best checkpointing.
+
+    ``epoch_step(params, opt_state, epoch) -> (params, opt_state, float)``
+    runs one epoch. ``restore(host_tree)`` re-materializes a host snapshot
+    on device for rollback (dp callers re-shard; default is a plain
+    device transfer).
+
+    NaN rollback restores BOTH params and optimizer state: the reference's
+    checkpoint reload keeps Keras' in-process optimizer moments intact
+    (old_versions/train_full_model.py:133-136), so resetting adam's mu/nu
+    to zero here would diverge from that semantics. Save-best-by-loss is
+    the reference's ModelCheckpoint (old_versions/train_full_model.py:
+    108-116)."""
+    if restore is None:
+        restore = lambda tree: jax.tree.map(jnp.asarray, tree)  # noqa: E731
+    last_good = jax.device_get(params)
+    last_good_opt = jax.device_get(opt_state)
+    history: list = []
+    val_history: list = []
+    rollbacks = 0
+    best_loss = float("inf")
+    for epoch in range(cfg.epochs):
+        params, opt_state, epoch_loss = epoch_step(params, opt_state, epoch)
+        if cfg.nan_rollback and not np.isfinite(epoch_loss):
+            # reference old_versions/train_full_model.py:133-136: reload
+            # the last checkpoint and keep going.
+            params = restore(last_good)
+            opt_state = restore(last_good_opt)
+            rollbacks += 1
+            if verbose:
+                print(f"epoch {epoch}: NaN loss — rolled back")
+            continue
+        last_good = jax.device_get(params)
+        last_good_opt = jax.device_get(opt_state)
+        history.append(epoch_loss)
+        msg = f"epoch {epoch}: loss {epoch_loss:.6f}"
+        if val_fn is not None:
+            val_loss = float(val_fn(params))
+            val_history.append(val_loss)
+            msg += f"  val {val_loss:.6f}"
+        if checkpoint_path is not None and epoch_loss < best_loss:
+            best_loss = epoch_loss
+            from svd_lstm_tpu.io.checkpoint import save_params
+
+            save_params(checkpoint_path, params)
+        if verbose:
+            print(msg)
+    return TrainResult(
+        params=params, history=history, rollbacks=rollbacks,
+        val_history=val_history, opt_state=opt_state,
+    )
+
+
 def fit(
     params: Any,
     X_train: np.ndarray,
@@ -183,84 +290,35 @@ def fit(
         # reference scale (256 MB) through a tunneled backend.
         X_dev, y_dev = jnp.asarray(X_mini), jnp.asarray(y_mini)
 
-    val_fn = None
-    if validation is not None:
-        Xv = jnp.asarray(validation[0])
-        yv = jnp.asarray(np.asarray(validation[1]).reshape(1, -1))
-        val_fn = jax.jit(
-            lambda p: jnp.mean(
-                jnp.square(exact_apply_fn(p, Xv, return_sequences=True)[..., 0] - yv)
-            )
-        )
+    val_fn = make_val_fn(exact_apply_fn, validation)
 
-    # NaN rollback restores BOTH params and optimizer state: the reference's
-    # checkpoint reload keeps Keras' in-process optimizer moments intact
-    # (old_versions/train_full_model.py:133-136), so resetting adam's mu/nu
-    # to zero here would diverge from that semantics (VERDICT.md weak #5).
-    last_good = jax.device_get(params)
-    last_good_opt = jax.device_get(opt_state)
-    history = []
-    val_history = []
-    rollbacks = 0
-    best_loss = float("inf")
-    for epoch in range(cfg.epochs):
+    def epoch_step(params, opt_state, epoch):
         if jit_epoch:
-            rng_e = np.random.default_rng(cfg.seed + epoch)
-            n_full = (X_mini.shape[0] // cfg.batch_size) * cfg.batch_size
-            perm = jnp.asarray(rng_e.permutation(X_mini.shape[0])[:n_full])
-            xs = X_dev[perm].reshape(-1, cfg.batch_size, *X_dev.shape[1:])
-            ys = y_dev[perm].reshape(-1, cfg.batch_size)
-            keys = None
+            xs, ys, keys = shuffled_epoch_batches(
+                X_dev, y_dev, X_mini.shape[0], cfg, epoch, dropout_rng
+            )
+            params, opt_state, mean_loss = epoch_scan(
+                params, opt_state, xs, ys, keys
+            )
+            return params, opt_state, float(mean_loss)
+        losses = []
+        for i, (xb, yb) in enumerate(window_epoch_iterator(
+            X_mini, y_mini, cfg.batch_size, seed=cfg.seed + epoch
+        )):
+            rng_b = None
             if dropout_rng is not None:
-                # fresh per-batch masks, Keras-style (a new mask set each
-                # cell build/call), deterministic given (dropout_rng, epoch)
-                keys = jax.random.split(
-                    jax.random.fold_in(dropout_rng, epoch), xs.shape[0]
+                rng_b = jax.random.fold_in(
+                    jax.random.fold_in(dropout_rng, epoch), i
                 )
-            params, opt_state, mean_loss = epoch_scan(params, opt_state, xs, ys, keys)
-            epoch_loss = float(mean_loss)
-        else:
-            losses = []
-            for i, (xb, yb) in enumerate(window_epoch_iterator(
-                X_mini, y_mini, cfg.batch_size, seed=cfg.seed + epoch
-            )):
-                rng_b = None
-                if dropout_rng is not None:
-                    rng_b = jax.random.fold_in(
-                        jax.random.fold_in(dropout_rng, epoch), i
-                    )
-                params, opt_state, loss = step(
-                    params, opt_state, jnp.asarray(xb), jnp.asarray(yb), rng_b
-                )
-                losses.append(loss)
-            epoch_loss = float(jnp.mean(jnp.stack(losses)))
-        if cfg.nan_rollback and not np.isfinite(epoch_loss):
-            # reference old_versions/train_full_model.py:133-136: reload the
-            # last checkpoint and keep going.
-            params = jax.tree.map(jnp.asarray, last_good)
-            opt_state = jax.tree.map(jnp.asarray, last_good_opt)
-            rollbacks += 1
-            if verbose:
-                print(f"epoch {epoch}: NaN loss — rolled back")
-            continue
-        last_good = jax.device_get(params)
-        last_good_opt = jax.device_get(opt_state)
-        history.append(epoch_loss)
-        msg = f"epoch {epoch}: loss {epoch_loss:.6f}"
-        if val_fn is not None:
-            val_loss = float(val_fn(params))
-            val_history.append(val_loss)
-            msg += f"  val {val_loss:.6f}"
-        if checkpoint_path is not None and epoch_loss < best_loss:
-            best_loss = epoch_loss
-            from svd_lstm_tpu.io.checkpoint import save_params
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(xb), jnp.asarray(yb), rng_b
+            )
+            losses.append(loss)
+        return params, opt_state, float(jnp.mean(jnp.stack(losses)))
 
-            save_params(checkpoint_path, params)
-        if verbose:
-            print(msg)
-    return TrainResult(
-        params=params, history=history, rollbacks=rollbacks,
-        val_history=val_history, opt_state=opt_state,
+    return drive_epochs(
+        cfg, params, opt_state, epoch_step,
+        val_fn=val_fn, checkpoint_path=checkpoint_path, verbose=verbose,
     )
 
 

@@ -40,6 +40,22 @@ def test_validation_and_checkpoint(tmp_path, tiny_run):
     assert type(best) is type(res.params)
 
 
+def test_validation_multi_sequence(tiny_run):
+    """A validation set of SEVERAL runs must work — the old yv.reshape(1,-1)
+    broadcast against a (B, T) prediction and crashed for B > 1. The mean
+    MSE must also equal the B=1 computation run per-sequence."""
+    X, y = tiny_run
+    params = init_stacked_lstm(jax.random.PRNGKey(0), 4, (8,))
+    Xv = np.concatenate([X, X * 0.5], axis=0)          # (2, T, d)
+    yv = np.stack([y, 0.5 * y], axis=0)                # (2, T)
+    cfg = TrainConfig(num_windows=64, window_len=20, epochs=1, batch_size=32)
+    res = fit(params, X, y, cfg, validation=(Xv, yv))
+    assert len(res.val_history) == 1 and np.isfinite(res.val_history[0])
+    a = fit(params, X, y, cfg, validation=(Xv[:1], yv[:1])).val_history[0]
+    b = fit(params, X, y, cfg, validation=(Xv[1:], yv[1:])).val_history[0]
+    np.testing.assert_allclose(res.val_history[0], (a + b) / 2, rtol=1e-5)
+
+
 def test_jit_epoch_matches_per_step(tiny_run):
     """Epoch-level scan must reproduce the per-step loop bitwise (same
     shuffle, same updates)."""
