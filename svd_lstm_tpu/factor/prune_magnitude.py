@@ -121,6 +121,20 @@ def finetune_with_pruning(
     if steps_per_epoch is None:
         steps_per_epoch = max(1, train_cfg.num_windows // train_cfg.batch_size)
 
+    # ONE window set for the whole loop, exactly like a single continuous
+    # finetune(epochs=N) — per-epoch finetune calls would otherwise
+    # resample a fresh window set (different data than plain finetune) and
+    # re-ship ~256 MB to device every epoch. Each epoch still gets its own
+    # shuffle: fit permutes with (seed + epoch), and `one` below carries
+    # seed + epoch.
+    if "windows" not in finetune_kwargs:
+        from svd_lstm_tpu.data.batcher import split_train_random
+
+        finetune_kwargs["windows"] = split_train_random(
+            X_train, y_train, train_cfg.num_windows, train_cfg.window_len,
+            seed=train_cfg.seed,
+        )
+
     params = sparams
     result = None
     history, val_history = [], []

@@ -104,11 +104,14 @@ def _truncate_factors(
     """(U, σ, Vᵀ) -> exact two-step (B, C) after dropping small σ.
 
     B = (U·Σ)·V₁ and C = V₁⁻¹·V₂ (reference code/svd_classes_v3.py:617-627).
-    Selection is by threshold σ > cutoff, or by keeping the top ``rank``
-    values BY MAGNITUDE — after a fine-tune the σ vector is no longer
-    descending (gradient updates reorder it), so "top-r = first r" would
-    silently keep the wrong components there. Identical to first-r for a
-    freshly factorized model.
+    Selection keeps components BY MAGNITUDE — threshold |σ| > cutoff, or
+    the top ``rank`` by |σ|. After a fine-tune the σ vector is no longer
+    descending or even non-negative (Hoyer is sign-symmetric; gradient
+    updates can push an entry through zero), so the reference's signed
+    compare (``sigma > cutoff``, code/svd_classes_v3.py:619-621) would
+    drop a σ of −0.8 "below" a 0.05 cutoff — a reconstruction error far
+    above the cutoff contract. Identical to the reference's rule for a
+    freshly factorized model, where σ ≥ 0.
     """
     left = np.asarray(left, np.float64)
     sigma = np.asarray(sigma, np.float64)
@@ -121,16 +124,16 @@ def _truncate_factors(
         # truncates exactly as the first-r rule did
         mask[np.argsort(-np.abs(sigma), kind="stable")[:rank]] = True
     elif cutoff is not None:
-        mask = sigma > cutoff
+        mask = np.abs(sigma) > cutoff
     else:
         raise ValueError(
             "truncation needs a selection rule: pass cutoff= (σ threshold) "
             "or rank= (top-r by magnitude)"
         )
     if not mask.any():
-        # Keep at least the largest singular value; an all-zero gate would
+        # Keep at least the largest-|σ| component; an all-zero gate would
         # make V1 empty and the two-step undefined.
-        mask[np.argmax(sigma)] = True
+        mask[np.argmax(np.abs(sigma))] = True
     U = left[:, mask]
     S = sigma[mask]
     V = right[mask, :]

@@ -40,6 +40,17 @@ _NODE_TYPES = {
 
 def _spec_of(obj: Any, leaves: list) -> Any:
     if isinstance(obj, tuple) and hasattr(obj, "_fields"):  # NamedTuple node
+        # Fail at SAVE time for node types load can't rebuild — otherwise
+        # e.g. save_params(path, result.opt_state) (optax states are
+        # NamedTuples) silently writes a checkpoint that load_params can
+        # only answer with a KeyError.
+        if type(obj).__name__ not in _NODE_TYPES:
+            raise TypeError(
+                f"cannot checkpoint node type {type(obj).__name__!r}: only "
+                f"{sorted(_NODE_TYPES)} round-trip through load_params. "
+                "For optimizer state, convert to plain dict/tuple/arrays "
+                "(e.g. jax.tree.map over flattened leaves) before saving."
+            )
         return {
             "__node__": type(obj).__name__,
             "fields": {k: _spec_of(v, leaves) for k, v in obj._asdict().items()},

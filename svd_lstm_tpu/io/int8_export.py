@@ -77,6 +77,19 @@ def save_model_int8_bin(params, path: str) -> int:
             f"int8 binary export supports a single-output head, got "
             f"head_dim={head_b.size}"
         )
+    # Validate EVERYTHING before opening the file — a mid-stream raise
+    # would leave a truncated artifact at the target path for the native
+    # consumer to choke on.
+    if not isinstance(params, (StackedLSTMParams, ReducedModelParams)):
+        raise TypeError(f"unsupported model params: {type(params)}")
+    if isinstance(params, ReducedModelParams):
+        for layer in params.layers:
+            if not layer.split:
+                raise ValueError(
+                    "int8 binary export supports split (per-gate) reduced "
+                    "layers — the native runtime's layout (io/native.py "
+                    "save_reduced_weights_as_csv has the same contract)"
+                )
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<II", VERSION, len(params.layers)))
@@ -86,13 +99,7 @@ def save_model_int8_bin(params, path: str) -> int:
                 _write_qmat(f, np.asarray(layer.W))
                 _write_qmat(f, np.asarray(layer.U))
                 _write_fvec(f, np.asarray(layer.b))
-            elif isinstance(params, ReducedModelParams):
-                if not layer.split:
-                    raise ValueError(
-                        "int8 binary export supports split (per-gate) reduced "
-                        "layers — the native runtime's layout (io/native.py "
-                        "save_reduced_weights_as_csv has the same contract)"
-                    )
+            else:  # ReducedModelParams, split — validated above
                 f.write(b"r")
                 for B, C in zip(layer.wB, layer.wC):
                     _write_qmat(f, np.asarray(B))
@@ -101,8 +108,6 @@ def save_model_int8_bin(params, path: str) -> int:
                     _write_qmat(f, np.asarray(B))
                     _write_qmat(f, np.asarray(C))
                 _write_fvec(f, np.asarray(layer.b))
-            else:
-                raise TypeError(f"unsupported model params: {type(params)}")
         _write_fvec(f, np.asarray(params.head.w).reshape(-1))
         f.write(struct.pack("<f", float(np.asarray(params.head.b).reshape(-1)[0])))
     import os

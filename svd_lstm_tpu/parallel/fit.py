@@ -232,8 +232,8 @@ def finetune_dp(
     reference fine-tune stage (code/svd_acceleration_v3.py:119-128)
     scaled over the mesh."""
     from svd_lstm_tpu.config import FactorConfig
-    from svd_lstm_tpu.models.singular import singular_lstm_apply
     from svd_lstm_tpu.train.finetune import (
+        dropout_apply_fn,
         make_finetune_optimizer,
         regularization_loss,
     )
@@ -246,24 +246,9 @@ def finetune_dp(
             batch_size=factor_cfg.finetune_batch_size,
         )
 
-    # Dropout runs only on the training loss (same wrapper as the
-    # single-device finetune); evaluation stays deterministic.
-    dropout_rng = None
-    apply_fn = singular_lstm_apply
-    if factor_cfg.dropout > 0.0 or factor_cfg.recurrent_dropout > 0.0:
-        dropout_rng = jax.random.PRNGKey(train_cfg.seed ^ 0x5EED)
-
-        def apply_fn(p, x, return_sequences=True, rng=None):
-            if rng is None:
-                return singular_lstm_apply(p, x, return_sequences)
-            return singular_lstm_apply(
-                p,
-                x,
-                return_sequences,
-                dropout=factor_cfg.dropout,
-                recurrent_dropout=factor_cfg.recurrent_dropout,
-                rng=rng,
-            )
+    # same wrapper + key derivation as the single-device finetune (one
+    # shared definition — they cannot drift)
+    apply_fn, dropout_rng = dropout_apply_fn(factor_cfg, train_cfg.seed)
     optimizer = make_finetune_optimizer(
         sparams, factor_cfg, train_cfg.learning_rate
     )

@@ -70,6 +70,36 @@ def make_finetune_optimizer(
     )
 
 
+def dropout_apply_fn(factor_cfg: FactorConfig, seed: int):
+    """``(apply_fn, dropout_rng)`` for the singular fine-tune: a
+    Keras-semantics per-gate dropout wrapper when configured
+    (reference code/svd_classes_v3.py:121-137), the plain apply otherwise.
+
+    Dropout runs only on the training loss (Keras training=True); the
+    loop's validation path calls apply_fn without an rng, which keeps
+    evaluation deterministic. ONE shared definition — ``finetune`` and
+    ``parallel.fit.finetune_dp`` both use it, so the key derivation
+    (seed ^ 0x5EED) and wrapper semantics cannot drift between the
+    single- and multi-device loops."""
+    if factor_cfg.dropout <= 0.0 and factor_cfg.recurrent_dropout <= 0.0:
+        return singular_lstm_apply, None
+    dropout_rng = jax.random.PRNGKey(seed ^ 0x5EED)
+
+    def apply_fn(p, x, return_sequences=True, rng=None):
+        if rng is None:
+            return singular_lstm_apply(p, x, return_sequences)
+        return singular_lstm_apply(
+            p,
+            x,
+            return_sequences,
+            dropout=factor_cfg.dropout,
+            recurrent_dropout=factor_cfg.recurrent_dropout,
+            rng=rng,
+        )
+
+    return apply_fn, dropout_rng
+
+
 def finetune(
     sparams: SingularModelParams,
     X_train,
@@ -78,6 +108,7 @@ def finetune(
     train_cfg: TrainConfig | None = None,
     verbose: bool = False,
     init_opt_state=None,
+    windows: tuple | None = None,
 ) -> TrainResult:
     if train_cfg is None:
         train_cfg = TrainConfig(
@@ -85,27 +116,7 @@ def finetune(
             batch_size=factor_cfg.finetune_batch_size,
         )
     optimizer = make_finetune_optimizer(sparams, factor_cfg, train_cfg.learning_rate)
-
-    # Dropout runs only on the training loss (Keras training=True); the
-    # loop's validation path calls apply_fn without an rng, which keeps
-    # evaluation deterministic (reference code/svd_classes_v3.py:121-137).
-    dropout_rng = None
-    apply_fn = singular_lstm_apply
-
-    if factor_cfg.dropout > 0.0 or factor_cfg.recurrent_dropout > 0.0:
-        dropout_rng = jax.random.PRNGKey(train_cfg.seed ^ 0x5EED)
-
-        def apply_fn(p, x, return_sequences=True, rng=None):
-            if rng is None:
-                return singular_lstm_apply(p, x, return_sequences)
-            return singular_lstm_apply(
-                p,
-                x,
-                return_sequences,
-                dropout=factor_cfg.dropout,
-                recurrent_dropout=factor_cfg.recurrent_dropout,
-                rng=rng,
-            )
+    apply_fn, dropout_rng = dropout_apply_fn(factor_cfg, train_cfg.seed)
 
     return fit(
         sparams,
@@ -118,6 +129,7 @@ def finetune(
         verbose=verbose,
         dropout_rng=dropout_rng,
         init_opt_state=init_opt_state,
+        windows=windows,
     )
 
 

@@ -75,6 +75,13 @@ def shuffled_epoch_batches(
     (tests/test_parallel_fit.py)."""
     rng_e = np.random.default_rng(cfg.seed + epoch)
     n_full = (n_windows // cfg.batch_size) * cfg.batch_size
+    if n_full == 0:
+        # a zero-step epoch would scan nothing, mean([]) = NaN, and the
+        # NaN rollback would silently turn the whole run into a no-op
+        raise ValueError(
+            f"num_windows ({n_windows}) < batch_size ({cfg.batch_size}): "
+            "every epoch would run zero steps"
+        )
     perm = jnp.asarray(rng_e.permutation(n_windows)[:n_full])
     xs = X_dev[perm].reshape(-1, cfg.batch_size, *X_dev.shape[1:])
     ys = y_dev[perm].reshape(-1, cfg.batch_size)

@@ -269,3 +269,28 @@ def test_input_dim_uniform_across_families(dense_model, merged):
     for model in (dense_model, smodel, rmodel):
         assert model.layers[0].input_dim == 16
         assert model.layers[1].input_dim == model.layers[0].units == 20
+
+
+def test_cutoff_truncation_keeps_negative_sigma_by_magnitude(dense_model):
+    """A fine-tuned sigma pushed through zero must survive a cutoff by
+    |sigma| — the reference's signed compare (code/svd_classes_v3.py:619)
+    would drop a -0.8 'below' a 0.05 cutoff, a reconstruction error far
+    above the cutoff contract."""
+    smodel = make_singular_model(dense_model, merged_kernel=False)
+    l0 = smodel.layers[0]
+    ws = np.asarray(l0.ws).copy()
+    kept_mag = abs(ws[0, 0])
+    ws[0, 0] = -ws[0, 0]  # gate i's largest sigma goes negative
+    flipped = smodel._replace(
+        layers=(l0._replace(ws=jnp.asarray(ws)),) + smodel.layers[1:]
+    )
+    rmodel = make_reduced_model(flipped, cutoff=0.05)
+    # exactness: the two-step with the negative sigma kept reconstructs
+    # the flipped dense W exactly (same identity as the positive case)
+    Bg, Cg = np.asarray(rmodel.layers[0].wB[0]), np.asarray(rmodel.layers[0].wC[0])
+    W_flip = (np.asarray(l0.wl[0]) * ws[0]) @ np.asarray(l0.wr[0])
+    r = Bg.shape[1]
+    np.testing.assert_allclose(
+        np.concatenate([Bg, Bg @ Cg], axis=1), W_flip, atol=1e-5
+    )
+    assert kept_mag > 0.05 and r >= int((np.abs(ws[0]) > 0.05).sum())

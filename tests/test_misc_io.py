@@ -115,3 +115,53 @@ def test_predict_rejects_unknown_impl(rng):
     x = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
     with pytest.raises(ValueError, match="unknown impl"):
         st.predict(params, x, impl="fuse")
+
+
+def test_checkpoint_rejects_unknown_node_at_save_time(tmp_path):
+    """save_params must fail for NamedTuple nodes load_params can't rebuild
+    (e.g. optax states) INSTEAD of writing an unreadable checkpoint."""
+    import optax
+
+    from svd_lstm_tpu.io.checkpoint import save_params
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+
+    params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=4, units=(6,))
+    opt_state = optax.adam(1e-3).init(params)
+    path = str(tmp_path / "opt.npz")
+    with pytest.raises(TypeError, match="cannot checkpoint node type"):
+        save_params(path, opt_state)
+    assert not os.path.exists(path)  # nothing half-written
+
+
+def test_csv_layer_dirs_sort_numerically(tmp_path, rng):
+    """lstm_10 must load AFTER lstm_9 — lexicographic sort scrambles 11+
+    layer models silently."""
+    from svd_lstm_tpu.io.csv_weights import (
+        load_model_from_csv,
+        save_model_weights_as_csv,
+    )
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+
+    params = init_stacked_lstm(jax.random.PRNGKey(7), input_dim=3, units=(4,) * 12)
+    d = str(tmp_path / "w")
+    save_model_weights_as_csv(params, d)
+    loaded = load_model_from_csv(d)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_int8_export_merged_reduced_leaves_no_partial_file(tmp_path):
+    """A merged (non-split) reduced model must be rejected BEFORE any bytes
+    are written — a truncated artifact would corrupt the native consumer."""
+    import svd_lstm_tpu as st
+    from svd_lstm_tpu.io.int8_export import save_model_int8_bin
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+
+    dense = init_stacked_lstm(jax.random.PRNGKey(8), input_dim=4, units=(6,))
+    rmodel = st.make_reduced_model(
+        st.make_singular_model(dense, merged_kernel=True), rank=4
+    )
+    path = str(tmp_path / "m.bin")
+    with pytest.raises(ValueError, match="split"):
+        save_model_int8_bin(rmodel, path)
+    assert not os.path.exists(path)

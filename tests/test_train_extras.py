@@ -94,3 +94,14 @@ def test_bench_cpu_smoke():
     rec = json.loads(line)
     assert rec["metric"] == "whole_run_latency_ratio_reduced_over_full"
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
+
+
+def test_fit_rejects_zero_step_epochs(tiny_run):
+    """num_windows < batch_size means zero steps per epoch; the old code
+    scanned nothing, mean([]) was NaN and the rollback silently no-op'd the
+    whole run. Must raise instead."""
+    X, y = tiny_run
+    params = init_stacked_lstm(jax.random.PRNGKey(0), 4, (8,))
+    cfg = TrainConfig(num_windows=16, window_len=20, epochs=1, batch_size=32)
+    with pytest.raises(ValueError, match="zero steps"):
+        fit(params, X, y, cfg)
