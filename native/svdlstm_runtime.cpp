@@ -26,11 +26,15 @@ bool load_csv(const std::string& path, Mat* out) {
   FILE* f = std::fopen(path.c_str(), "r");
   if (!f) return false;
   out->clear();
-  std::string line;
+  // Accumulate whole physical lines — fgets returns 64 KB chunks, and a
+  // row longer than the buffer (wide matrices at %.18e ≈ 25 B/value) must
+  // not be split into two ragged rows (FlatMat assumes uniform widths).
   char buf[1 << 16];
-  while (std::fgets(buf, sizeof(buf), f)) {
+  std::string line;
+  bool ragged = false;
+  auto flush_line = [&]() {
     std::vector<float> row;
-    char* p = buf;
+    const char* p = line.c_str();
     while (*p) {
       char* end = nullptr;
       float v = std::strtof(p, &end);
@@ -39,10 +43,21 @@ bool load_csv(const std::string& path, Mat* out) {
       p = end;
       while (*p == ',' || *p == ' ' || *p == '\n' || *p == '\r') ++p;
     }
-    if (!row.empty()) out->push_back(std::move(row));
+    if (!row.empty()) {
+      if (!out->empty() && row.size() != (*out)[0].size()) ragged = true;
+      out->push_back(std::move(row));
+    }
+    line.clear();
+  };
+  while (std::fgets(buf, sizeof(buf), f)) {
+    line += buf;
+    if (!line.empty() && line.back() == '\n') flush_line();
   }
+  if (!line.empty()) flush_line();
   std::fclose(f);
-  return !out->empty();
+  // Ragged rows (hand-edited/truncated files) would make FlatMat::from
+  // read past the shorter rows' allocations — reject the whole file.
+  return !out->empty() && !ragged;
 }
 
 inline float sigmoidf(float x) { return 1.0f / (1.0f + std::exp(-x)); }
@@ -433,6 +448,9 @@ bool load_int8_model(const std::string& path, Model* m,
     float hb = 0.0f;
     ok = ok && read_exact(f, &hb, 4);
     m->head_b = hb;
+    // same head/last-layer size contract as svdlstm_load
+    ok = ok && !m->layers.empty() &&
+         m->head_w.size() == static_cast<size_t>(m->layers.back().units);
   }
   std::fclose(f);
   return ok;
@@ -451,12 +469,22 @@ void* svdlstm_load(const char* base, const char* layer_dirs,
                    const char* kinds, int transposed) {
   auto* m = new Model();
   std::string basedir(base), dirs(layer_dirs), kindstr(kinds);
+  // split the dir list up front so a dirs/kinds count mismatch fails
+  // loudly instead of silently building a truncated model
+  std::vector<std::string> dirlist;
   size_t pos = 0;
-  int li = 0;
-  while (pos != std::string::npos && li < static_cast<int>(kindstr.size())) {
+  while (pos != std::string::npos) {
     size_t next = dirs.find(':', pos);
-    std::string d = basedir + "/" +
-        dirs.substr(pos, next == std::string::npos ? next : next - pos);
+    dirlist.push_back(
+        dirs.substr(pos, next == std::string::npos ? next : next - pos));
+    pos = (next == std::string::npos) ? next : next + 1;
+  }
+  if (dirlist.empty() || dirlist.size() != kindstr.size()) {
+    delete m;
+    return nullptr;
+  }
+  for (size_t li = 0; li < dirlist.size(); ++li) {
+    std::string d = basedir + "/" + dirlist[li];
     Layer L;
     const char k = kindstr[li];
     bool ok = (k == 'r' || k == 'R')
@@ -471,8 +499,6 @@ void* svdlstm_load(const char* base, const char* layer_dirs,
     L.zg.assign(4 * L.units, 0.0f);
     L.zs.assign(4 * L.units, 0.0f);  // packed-B temp: sum r_g <= 4n
     m->layers.push_back(std::move(L));
-    pos = (next == std::string::npos) ? next : next + 1;
-    ++li;
   }
   Mat w, b;
   if (!load_csv(basedir + "/dense_top/weights.csv", &w) ||
@@ -483,6 +509,13 @@ void* svdlstm_load(const char* base, const char* layer_dirs,
   for (auto& row : w)
     for (float v : row) m->head_w.push_back(v);
   m->head_b = b[0][0];
+  // The head dot in svdlstm_step runs over head_w against the last
+  // layer's h — a size mismatch (e.g. a multi-output head the CSV
+  // exporter happily writes) would read past the h buffer.
+  if (m->head_w.size() != static_cast<size_t>(m->layers.back().units)) {
+    delete m;
+    return nullptr;
+  }
   return m;
 }
 

@@ -56,17 +56,17 @@ def _family(params) -> str:
 
 
 def _dims(params) -> list:
-    """Per-layer (units, every leaf's shape) — units pins the kernel
-    family's width rules; the full shape list pins input dim, per-gate
-    ranks and split vs merged exactly. (A summed weight count would
-    collide on per-gate rank *permutations*, which change kernel padding.)"""
-    return [
-        (
-            int(l.units),
-            [tuple(int(s) for s in x.shape) for x in jax.tree_util.tree_leaves(l)],
-        )
-        for l in params.layers
+    """Per-layer (units, every leaf's shape) plus the head's leaf shapes —
+    units pins the kernel family's width rules; the full shape list pins
+    input dim, per-gate ranks, split vs merged AND the head width exactly.
+    (A summed weight count would collide on per-gate rank *permutations*,
+    which change kernel padding; omitting the head would serve one model's
+    winner to another whose (T, n) @ (n, out) head matmul moves the
+    crossover.)"""
+    shapes = lambda node: [  # noqa: E731
+        tuple(int(s) for s in x.shape) for x in jax.tree_util.tree_leaves(node)
     ]
+    return [(int(l.units), shapes(l)) for l in params.layers] + [shapes(params.head)]
 
 
 def cache_key(params, x, precision: str) -> str:
@@ -82,7 +82,9 @@ def cache_key(params, x, precision: str) -> str:
         {
             "family": _family(params),
             "dims": _dims(params),
-            "pdtype": str(jnp.result_type(jax.tree_util.tree_leaves(params)[0])),
+            "pdtype": sorted(
+                {str(jnp.result_type(x)) for x in jax.tree_util.tree_leaves(params)}
+            ),
             "x": tuple(int(s) for s in x.shape),
             "dtype": str(jnp.result_type(x)),
             "precision": precision,

@@ -45,13 +45,19 @@ def _trace_dir_events(trace_dir: str, full: bool = False):
         # top-level executable events instead.
         import re
 
+        # The gap between "name" and "dur" may contain a nested object
+        # (e.g. "args":{...}); a plain [^}]*? cannot cross its closing
+        # brace and would silently drop those events, under-reporting one
+        # impl's device time. One level of {...} nesting is allowed; the
+        # region still cannot escape the event's own closing brace.
+        gap = rb'(?:[^{}]|\{[^{}]*\})*?'
         events = []
         for m in re.finditer(
-            rb'"name"\s*:\s*"(jit_[^"]*)"[^}]*?"dur"\s*:\s*([0-9.]+)', raw
+            rb'"name"\s*:\s*"(jit_[^"]*)"' + gap + rb'"dur"\s*:\s*([0-9.]+)', raw
         ):
             events.append({"ph": "X", "name": m.group(1).decode(), "dur": float(m.group(2))})
         for m in re.finditer(
-            rb'"dur"\s*:\s*([0-9.]+)[^}]*?"name"\s*:\s*"(jit_[^"]*)"', raw
+            rb'"dur"\s*:\s*([0-9.]+)' + gap + rb'"name"\s*:\s*"(jit_[^"]*)"', raw
         ):
             events.append({"ph": "X", "name": m.group(2).decode(), "dur": float(m.group(1))})
         if events:

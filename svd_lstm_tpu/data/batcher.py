@@ -72,6 +72,12 @@ def window_epoch_iterator(
     n = X_mini.shape[0]
     perm = rng.permutation(n)
     n_full = (n // batch_size) * batch_size
+    if n_full == 0:
+        # yielding nothing would crash the caller far from the
+        # misconfiguration (jnp.stack of an empty loss list)
+        raise ValueError(
+            f"window count ({n}) < batch_size ({batch_size}): zero batches"
+        )
     for i in range(0, n_full, batch_size):
         sel = perm[i : i + batch_size]
         yield X_mini[sel], y_mini[sel]

@@ -76,6 +76,31 @@ def two_step(x: jax.Array, B: jax.Array, C: jax.Array) -> jax.Array:
     return jnp.concatenate([xb, xb @ C], axis=-1)
 
 
+def pack_split_projection(Bs, Cs) -> Tuple[jax.Array, jax.Array]:
+    """Rank-pad and stack a split side's per-gate factors for the batched
+    two-einsum form: (Bp (4, d, rmax), ICp (4, rmax, n)). Zero pad
+    columns/rows keep the product exact. ONE packing rule — shared by
+    ``reduced_projection`` and the streaming step
+    (models/streaming.py), so a layout change cannot fix one and miss the
+    other."""
+    from svd_lstm_tpu.utils.linalg import fold_IC, pad_cols, pad_rows
+
+    rmax = max(B.shape[1] for B in Bs)
+    Bp = jnp.stack([pad_cols(B, rmax) for B in Bs])               # (4, d, rmax)
+    ICp = jnp.stack(
+        [pad_rows(fold_IC(B, C), rmax) for B, C in zip(Bs, Cs)]
+    )                                                              # (4, rmax, n)
+    return Bp, ICp
+
+
+def apply_split_projection(x, Bp, ICp) -> jax.Array:
+    """The batched split two-step: per gate (x @ B) @ [I|C], all four gates
+    in two einsums, gate blocks concatenated -> (..., 4n)."""
+    xb = jnp.einsum("...d,gdr->...gr", x, Bp)
+    z = jnp.einsum("...gr,grn->...gn", xb, ICp)
+    return z.reshape(*z.shape[:-2], -1)
+
+
 def reduced_projection(p: ReducedLayerParams, x, which: str) -> jax.Array:
     """Two-step product for input ('w') or recurrent ('u') side -> (..., 4n).
 
@@ -85,19 +110,12 @@ def reduced_projection(p: ReducedLayerParams, x, which: str) -> jax.Array:
     the concat-chain formulation was measured 2-3× slower at batch 256 on
     v5e from intermediate materialization alone.
     """
-    from svd_lstm_tpu.utils.linalg import fold_IC, pad_cols, pad_rows
+    from svd_lstm_tpu.utils.linalg import fold_IC
 
     Bs = p.wB if which == "w" else p.uB
     Cs = p.wC if which == "w" else p.uC
     if p.split:
-        rmax = max(B.shape[1] for B in Bs)
-        Bp = jnp.stack([pad_cols(B, rmax) for B in Bs])           # (4, d, rmax)
-        ICp = jnp.stack(
-            [pad_rows(fold_IC(B, C), rmax) for B, C in zip(Bs, Cs)]
-        )                                                          # (4, rmax, n)
-        xb = jnp.einsum("...d,gdr->...gr", x, Bp)
-        z = jnp.einsum("...gr,grn->...gn", xb, ICp)
-        return z.reshape(*z.shape[:-2], -1)
+        return apply_split_projection(x, *pack_split_projection(Bs, Cs))
     return (x @ Bs) @ fold_IC(Bs, Cs)
 
 

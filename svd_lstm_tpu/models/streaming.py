@@ -84,26 +84,26 @@ def make_stream_fn(params, batch: int = 1, dtype=jnp.float32):
     ONCE at closure build; the returned function is jitted with the packed
     weights baked in as constants.
     """
-    from svd_lstm_tpu.utils.linalg import fold_IC, pad_cols, pad_rows
+    from svd_lstm_tpu.models.reduced import (
+        apply_split_projection,
+        pack_split_projection,
+    )
 
     layer_fns = []
     for layer in params.layers:
         if hasattr(layer, "wB") and layer.split:  # split reduced: pre-pack
-            packed = {}
-            for which, Bs, Cs in (("w", layer.wB, layer.wC), ("u", layer.uB, layer.uC)):
-                rmax = max(B.shape[1] for B in Bs)
-                packed[which] = (
-                    jnp.stack([pad_cols(B, rmax) for B in Bs]),
-                    jnp.stack([pad_rows(fold_IC(B, C), rmax) for B, C in zip(Bs, Cs)]),
-                )
+            # one shared packing/apply rule with reduced_projection
+            packed = {
+                "w": pack_split_projection(layer.wB, layer.wC),
+                "u": pack_split_projection(layer.uB, layer.uC),
+            }
 
             def step(x, h, c, packed=packed, b=layer.b):
-                def proj(v, Bp, ICp):
-                    xb = jnp.einsum("...d,gdr->...gr", v, Bp)
-                    z = jnp.einsum("...gr,grn->...gn", xb, ICp)
-                    return z.reshape(*z.shape[:-2], -1)
-
-                z = proj(x, *packed["w"]) + b + proj(h, *packed["u"])
+                z = (
+                    apply_split_projection(x, *packed["w"])
+                    + b
+                    + apply_split_projection(h, *packed["u"])
+                )
                 return gate_update(z, c)
 
             layer_fns.append(step)

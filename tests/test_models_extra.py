@@ -100,3 +100,51 @@ class TestConvLSTM:
             params, state, l = step(params, state, xb, yb)
             losses.append(float(l))
         assert losses[-1] < losses[0]
+
+
+def test_two_step_is_the_spec_of_reduced_projection(rng):
+    """two_step is the readable statement of the exact low-rank apply
+    (reference old_versions/svd_classes.py:45-101); reduced_projection
+    executes the same values in the folded (x@B)@[I|C] form. Pin the
+    identity so the two statements cannot diverge."""
+    from svd_lstm_tpu.models.reduced import (
+        ReducedLayerParams,
+        reduced_projection,
+        two_step,
+    )
+
+    d, n, r = 5, 8, 3
+    x = jnp.asarray(rng.normal(size=(4, d)), jnp.float32)
+    # merged side
+    B = jnp.asarray(rng.normal(size=(d, r)), jnp.float32)
+    C = jnp.asarray(rng.normal(size=(r, 4 * n - r)), jnp.float32)
+    merged = ReducedLayerParams(
+        wB=B, wC=C,
+        uB=jnp.zeros((n, r)), uC=jnp.zeros((r, 4 * n - r)),
+        b=jnp.zeros(4 * n),
+    )
+    np.testing.assert_allclose(
+        np.asarray(two_step(x, B, C)),
+        np.asarray(reduced_projection(merged, x, "w")),
+        atol=1e-6,
+    )
+    # split side: per-gate two_step concatenated == batched projection
+    ranks = (2, 3, 1, 3)
+    wB = tuple(jnp.asarray(rng.normal(size=(d, rg)), jnp.float32) for rg in ranks)
+    wC = tuple(
+        jnp.asarray(rng.normal(size=(rg, n - rg)), jnp.float32) for rg in ranks
+    )
+    split = ReducedLayerParams(
+        wB=wB, wC=wC,
+        uB=tuple(jnp.zeros((n, rg)) for rg in ranks),
+        uC=tuple(jnp.zeros((rg, n - rg)) for rg in ranks),
+        b=jnp.zeros(4 * n),
+    )
+    per_gate = jnp.concatenate(
+        [two_step(x, B, C) for B, C in zip(wB, wC)], axis=-1
+    )
+    np.testing.assert_allclose(
+        np.asarray(per_gate),
+        np.asarray(reduced_projection(split, x, "w")),
+        atol=1e-6,
+    )

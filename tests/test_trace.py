@@ -103,6 +103,9 @@ def test_big_trace_breakdown_uses_full_parse(tmp_path, monkeypatch):
     d.mkdir(parents=True)
     events = [
         {"ph": "X", "name": "jit_f", "dur": 1000.0},
+        # nested args object between name and dur — the regex fast path
+        # must cross it (a plain [^}]*? gap silently dropped these events)
+        {"ph": "X", "name": "jit_g", "args": {"run_id": 1}, "dur": 250.0},
         {"ph": "X", "name": "fusion.1", "dur": 600.0},
         {"ph": "X", "name": "while.2", "dur": 400.0},
     ]
@@ -111,6 +114,7 @@ def test_big_trace_breakdown_uses_full_parse(tmp_path, monkeypatch):
 
     monkeypatch.setattr(devtime, "_BIG_TRACE_BYTES", 1)  # force "big trace"
     fast = _trace_dir_events(str(tmp_path))
-    assert {e["name"] for e in fast} == {"jit_f"}  # fast path: wrappers only
+    assert {e["name"] for e in fast} == {"jit_f", "jit_g"}  # wrappers only
+    assert sum(e["dur"] for e in fast) == 1250.0
     stats = op_breakdown(str(tmp_path))
     assert {s.name for s in stats} == {"fusion.1", "while.2"}  # full, no wrapper
