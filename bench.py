@@ -141,8 +141,11 @@ def bench_reference_scale(jax, jnp, st, device_time_ms, on_tpu):
         # batch-1 fast mode (relaxed single-pass dots, rel.err ~6e-3)
         import svd_lstm_tpu as st_mod
 
-        fast_full = jax.jit(lambda p, xx: st_mod.predict(p, xx, precision="fast"))
-        fast_red = jax.jit(lambda p, xx: st_mod.predict(p, xx, precision="fast"))
+        # one jitted entry serves both families: predict dispatches on the
+        # params type and jax.jit caches per pytree structure
+        fast_full = fast_red = jax.jit(
+            lambda p, xx: st_mod.predict(p, xx, precision="fast")
+        )
         ef = float(jnp.abs(fast_full(params, x1) - scan_full(params, x)[0]).max())
         ff_ms = device_time_ms(fast_full, params, x1, repeats=3)
         fr_ms = device_time_ms(fast_red, rmodel, x1, repeats=3)
@@ -215,8 +218,11 @@ def bench_wide(jax, jnp, st, device_time_ms, on_tpu):
         # dense hybrid beats the scan once dots are single-pass)
         import svd_lstm_tpu as st_mod
 
-        fast_full = jax.jit(lambda p, xx: st_mod.predict(p, xx, precision="fast"))
-        fast_red = jax.jit(lambda p, xx: st_mod.predict(p, xx, precision="fast"))
+        # one jitted entry serves both families: predict dispatches on the
+        # params type and jax.jit caches per pytree structure
+        fast_full = fast_red = jax.jit(
+            lambda p, xx: st_mod.predict(p, xx, precision="fast")
+        )
         y_exact = full_fn(params, x1)
         ef = float(
             jnp.linalg.norm(fast_full(params, x1) - y_exact)

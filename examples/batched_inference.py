@@ -13,7 +13,6 @@ Usage:
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -44,6 +43,7 @@ def main():
     import jax.numpy as jnp
 
     import svd_lstm_tpu as st
+    from svd_lstm_tpu.bench.devtime import device_time_ms
     from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
     from svd_lstm_tpu.parallel.mesh import make_mesh
     from svd_lstm_tpu.parallel.train import make_batched_inference
@@ -82,16 +82,24 @@ def main():
                 return jax.block_until_ready(run(params_x, X_x))
 
     out = timed()
-    t0 = time.perf_counter()
-    out = timed()
-    dt = time.perf_counter() - t0
+    # device time, not wall clock — dispatch latency through a tunneled
+    # backend dwarfs compute (CLAUDE.md measurement rule)
+    dt_ms = device_time_ms(lambda: timed(), repeats=2)
     out = jnp.asarray(out, jnp.float32)
-    ref = stacked_lstm_apply(params, X[: B // n_dev], return_sequences=True)
-    err = float(jnp.abs(out[: B // n_dev] - ref).max())
+    if args.precision == "exact":
+        ref = stacked_lstm_apply(params, X[: B // n_dev], return_sequences=True)
+        err = float(jnp.abs(out[: B // n_dev] - ref).max())
+        err_note = f"shard-vs-local err {err:.2e}"
+    else:
+        # comparing a reduced-precision forward against exact f32 would
+        # mislabel its roundoff (~1e-2 for fast) as sharding error; the
+        # sharded≡unsharded parity is asserted in exact mode above and in
+        # tests/test_parallel.py
+        err_note = f"precision={args.precision} (roundoff vs f32 expected)"
     print(
         f"sharded {B} sequences x {args.steps} steps over {n_dev} devices: "
-        f"{dt*1e3:.1f} ms wall, {B*args.steps/dt/1e6:.2f} M steps/s, "
-        f"shard-vs-local err {err:.2e}"
+        f"{dt_ms:.1f} ms device, {B*args.steps/(dt_ms/1e3)/1e6:.2f} M steps/s, "
+        f"{err_note}"
     )
 
     if args.rank:
@@ -103,9 +111,9 @@ def main():
         rmodel = st.make_reduced_model(smodel, rank=args.rank)
         run_r = make_batched_inference(mesh, reduced_lstm_apply)
         out_r = jax.block_until_ready(run_r(rmodel, X))
-        t0 = time.perf_counter()
-        out_r = jax.block_until_ready(run_r(rmodel, X))
-        dt_r = time.perf_counter() - t0
+        dt_r_ms = device_time_ms(
+            lambda: jax.block_until_ready(run_r(rmodel, X)), repeats=2
+        )
         err_r = float(jnp.abs(jnp.asarray(out_r, jnp.float32) - jnp.asarray(out, jnp.float32)).max())
         n_min = min(units)
         if args.precision != "exact":
@@ -118,8 +126,9 @@ def main():
         else:
             note = f"genuine truncation (r={args.rank} < n={n_min}) — error reflects discarded sigmas"
         print(
-            f"reduced (r={args.rank}) sharded: {dt_r*1e3:.1f} ms wall, "
-            f"{B*args.steps/dt_r/1e6:.2f} M steps/s, reduced-vs-full err {err_r:.2e} ({note})"
+            f"reduced (r={args.rank}) sharded: {dt_r_ms:.1f} ms device, "
+            f"{B*args.steps/(dt_r_ms/1e3)/1e6:.2f} M steps/s, "
+            f"reduced-vs-full err {err_r:.2e} ({note})"
         )
 
 

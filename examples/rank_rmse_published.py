@@ -203,7 +203,9 @@ def main():
     print(f"divergence: ratio[17]={ratio[17]:.3f} ratio[19]={ratio[19]:.3f}  "
           f"(published: ~1.1 at 17, >2 by 19)")
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # abspath first: dirname of a bare filename is "" and makedirs("")
+    # raises — AFTER the whole 30-epoch run
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(
             {

@@ -6,11 +6,14 @@ scripts top-to-bottom; here each stage is a subcommand over the library):
     train      — train the full dense regressor (examples/train_full_model)
     compress   — factorize → Hoyer fine-tune → truncate → benchmark
     sweep      — rank-reduction sweep, RMSE curve + gif
+    rank-rmse  — reproduce the published 4×30/k=15 rank-RMSE configuration
     timing     — timing-vs-rank curves
     freq       — toy sine-series task
     batched    — batched multi-sequence inference demo
+    seq-train  — parallel→sequential weight-merge experiment (sequentialize)
     distributed— dp training pipeline over a device mesh (fit_dp/finetune_dp)
     bench      — headline benchmark JSON line
+    native-bench — C++ streaming runtime timing vs the CSV/int8 exports
     export     — checkpoint → deployment artifacts (per-gate CSV, JSON,
                  optional int8-quantized npz): the reference's LabVIEW
                  export surface (code/load_preprocess.py:80-165) as a command

@@ -106,6 +106,17 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
             "batched fast path on TPU) or impl='scan' (pure XLA) for "
             "(B, T, d) input"
         )
+    if impl == "fused" and _max_units(params) > 128:
+        # same contract as the batched guard: an explicit impl request must
+        # not silently run a different implementation (the fused kernels'
+        # VMEM budget is the n <= 128 rule; a wide 'fused' would otherwise
+        # fall through to the scan or hybrid while the caller benchmarks it
+        # under the wrong label)
+        raise ValueError(
+            f"impl='fused' requires every layer n <= 128 (got "
+            f"{_max_units(params)}); use impl='hybrid' (wide-model kernel) "
+            "or impl='auto'"
+        )
     if batched and precision != "exact":
         import jax.numpy as jnp
 

@@ -84,6 +84,23 @@ def quantize_params(params: Any) -> Any:
             return quantize_tensor(x, axis=x.ndim - 2)
         return x
 
+    # Singular layers need field-aware handling: split-mode sigma vectors
+    # stack to (4, n) — 2-D — and the ndim rule alone would quantize them,
+    # violating the sigma-stays-f32 contract above (sigma precision is what
+    # the Hoyer fine-tune trains). Only the U/V factor matrices quantize.
+    from svd_lstm_tpu.models.singular import SingularModelParams
+
+    if isinstance(params, SingularModelParams):
+        layers = tuple(
+            l._replace(
+                wl=maybe_q(l.wl), wr=maybe_q(l.wr),
+                ul=maybe_q(l.ul), ur=maybe_q(l.ur),
+            )
+            for l in params.layers
+        )
+        head = jax.tree.map(maybe_q, params.head, is_leaf=_is_qt)
+        return params._replace(layers=layers, head=head)
+
     return jax.tree.map(maybe_q, params, is_leaf=_is_qt)
 
 

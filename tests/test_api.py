@@ -85,6 +85,11 @@ def test_predict_rejects_bad_args(models, rng):
     for impl in ("fused", "hybrid"):  # batch-1-only kernels refuse batched input
         with pytest.raises(ValueError):
             st.predict(dense, xb, impl=impl)
+    # explicit 'fused' on a wide model must refuse, not silently run the
+    # scan/hybrid under the wrong label
+    wide = init_stacked_lstm(jax.random.PRNGKey(9), input_dim=6, units=(256,))
+    with pytest.raises(ValueError, match="n <= 128"):
+        st.predict(wide, jnp.zeros((4, 6)), impl="fused")
 
 
 def test_predict_traces_under_jit_for_every_family(models, rng):

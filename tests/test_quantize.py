@@ -3,6 +3,7 @@ the reference's rank truncation; must bound elementwise error, preserve
 pytree structure, compose with reduced models, and checkpoint."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -110,3 +111,26 @@ def test_dequantized_params_rejects_merged_reduced(rng):
     r = st.make_reduced_model(s, rank=8)
     with pytest.raises(ValueError, match="split"):
         dequantized_params(r)
+
+
+@pytest.mark.parametrize("merged", [True, False])
+def test_quantize_never_touches_sigma(merged):
+    """sigma precision is what the Hoyer fine-tune trains; split-mode sigma
+    stacks to (4, n) — 2-D — and must STILL stay f32 (the ndim rule alone
+    quantized it)."""
+    import svd_lstm_tpu as st
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+    from svd_lstm_tpu.utils.quantize import QuantizedTensor, quantize_params
+
+    dense = init_stacked_lstm(jax.random.PRNGKey(4), input_dim=5, units=(8, 7))
+    smodel = st.make_singular_model(dense, merged_kernel=merged)
+    q = quantize_params(smodel)
+    for l, ql in zip(smodel.layers, q.layers):
+        assert not isinstance(ql.ws, QuantizedTensor)
+        assert not isinstance(ql.us, QuantizedTensor)
+        np.testing.assert_array_equal(np.asarray(ql.ws), np.asarray(l.ws))
+        np.testing.assert_array_equal(np.asarray(ql.us), np.asarray(l.us))
+        # the factor matrices DO quantize
+        assert isinstance(ql.wl, QuantizedTensor)
+        assert isinstance(ql.ur, QuantizedTensor)
+    assert isinstance(q.head.w, QuantizedTensor)
