@@ -21,6 +21,9 @@ scripts top-to-bottom; here each stage is a subcommand over the library):
                  print the per-op device-time breakdown (bench.trace); the
                  diagnostic upgrade of the reference's perf_counter timing
                  (code/svd_acceleration_v3.py:147-152)
+    tune       — measure every valid predict() impl for a checkpoint on
+                 this device, print the table, memoize the winner
+                 (bench.autotune / predict_tuned's cache)
 """
 
 import runpy
@@ -140,6 +143,61 @@ def _trace(argv):
           "profile plugin; or load the *.trace.json.gz in ui.perfetto.dev)")
 
 
+def _tune(argv):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m svd_lstm_tpu tune",
+        description="Measure every valid predict() implementation for a "
+        "model/input shape on THIS device and print the table + winner "
+        "(bench.autotune; the winner memoizes to the persistent cache "
+        "predict_tuned serves from).",
+    )
+    ap.add_argument(
+        "--checkpoint", default=None, help="model checkpoint (default: random 4x40)"
+    )
+    ap.add_argument("--steps", type=int, default=2048, help="run length T")
+    ap.add_argument("--batch", type=int, default=0, help="0 = batch-1 (T, d) input")
+    ap.add_argument(
+        "--precision", default="exact", choices=("exact", "high", "fast")
+    )
+    ap.add_argument("--repeats", type=int, default=2, help="timing repeats per impl")
+    ap.add_argument(
+        "--no-cache", action="store_true", help="measure only; skip the disk cache"
+    )
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from svd_lstm_tpu.bench import autotune as at
+
+    if args.checkpoint:
+        from svd_lstm_tpu.io.checkpoint import load_params
+
+        params = load_params(args.checkpoint)
+    else:
+        from svd_lstm_tpu.models.lstm import init_stacked_lstm
+
+        params = init_stacked_lstm(jax.random.key(0))
+    d = params.layers[0].input_dim
+    shape = (args.batch, args.steps, d) if args.batch else (args.steps, d)
+    x = jax.random.normal(jax.random.key(1), shape, jnp.float32)
+    r = at.autotune(params, x, precision=args.precision, repeats=args.repeats)
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform}:{dev.device_kind}   input {shape}  "
+          f"precision={args.precision}")
+    for impl, ms in sorted(r.table.items(), key=lambda kv: kv[1]):
+        mark = " <- winner" if impl == r.impl else ""
+        print(f"  {impl:<8} {ms:10.3f} ms{mark}")
+    for impl, err in r.failed.items():
+        print(f"  {impl:<8} FAILED: {err.splitlines()[0][:90]}")
+    if not args.no_cache:
+        cache = at.default_cache_path()
+        at._store_disk(cache, at.cache_key(params, x, args.precision), r.impl)
+        print(f"cached -> {cache}")
+
+
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "export":
         _export(sys.argv[2:])
@@ -147,9 +205,12 @@ def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "trace":
         _trace(sys.argv[2:])
         return
+    if len(sys.argv) >= 2 and sys.argv[1] == "tune":
+        _tune(sys.argv[2:])
+        return
     if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(__doc__)
-        print("commands:", ", ".join([*_COMMANDS, "export", "trace"]))
+        print("commands:", ", ".join([*_COMMANDS, "export", "trace", "tune"]))
         raise SystemExit(2)
     script = os.path.join(_HERE, _COMMANDS[sys.argv[1]])
     sys.argv = [script] + sys.argv[2:]

@@ -30,3 +30,20 @@ def test_export_command_roundtrip(tmp_path):
 
     q = load_params(os.path.join(outdir, "model_int8.npz"))
     assert isinstance(q.layers[0].W, QuantizedTensor)
+
+
+def test_tune_command_prints_table_and_caches(tmp_path, capsys, monkeypatch):
+    """CLI tune: measures valid impls for a checkpoint, prints the table
+    with a winner, memoizes to the autotune cache."""
+    import svd_lstm_tpu.bench.autotune as at
+    from svd_lstm_tpu.__main__ import _tune
+
+    params = init_stacked_lstm(jax.random.PRNGKey(1), input_dim=4, units=(6,))
+    ckpt = str(tmp_path / "m.npz")
+    save_params(ckpt, params)
+    cache = str(tmp_path / "autotune.json")
+    monkeypatch.setattr(at, "default_cache_path", lambda: cache)
+    _tune(["--checkpoint", ckpt, "--steps", "16", "--repeats", "1"])
+    out = capsys.readouterr().out
+    assert "winner" in out and "scan" in out
+    assert os.path.exists(cache)
