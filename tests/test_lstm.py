@@ -112,3 +112,22 @@ class TestInit:
         out = f(params, x)
         assert out.shape == (4, 1)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gate_update_bwd_matches_autodiff(rng):
+    """gate_update_bwd is THE cell-gradient formula both Pallas backward
+    kernels call; pin it directly against jax's VJP of gate_update (the
+    kernels' own parity tests validate it only end-to-end)."""
+    from svd_lstm_tpu.models.lstm import gate_update, gate_update_bwd
+
+    B, n = 3, 7
+    z = jnp.asarray(rng.normal(size=(B, 4 * n)), jnp.float32)
+    c_prev = jnp.asarray(rng.normal(size=(B, n)), jnp.float32)
+    dh = jnp.asarray(rng.normal(size=(B, n)), jnp.float32)
+    dc = jnp.asarray(rng.normal(size=(B, n)), jnp.float32)
+
+    (h, c_t), vjp = jax.vjp(gate_update, z, c_prev)
+    dz_ref, dcp_ref = vjp((dh, dc))
+    dz, dcp = gate_update_bwd(z, c_prev, c_t, dh, dc)
+    np.testing.assert_allclose(np.asarray(dz), np.asarray(dz_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dcp), np.asarray(dcp_ref), atol=1e-6)
