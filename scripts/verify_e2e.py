@@ -75,6 +75,27 @@ e2 = np.abs(y_pallas_red - pred_red2[:Tk]).max()
 print(f"== pallas: |fused_full - scan| {e1:.2e}  |fused_reduced - scan| {e2:.2e}")
 assert e1 < 1e-4 and e2 < 1e-4
 
+# 8. native C++ consumer: export the reduced model, load through the
+# ctypes bindings, frame-at-a-time parity vs the JAX scan (the LabVIEW
+# deployment role, reference code/load_preprocess.py:93-128)
+try:
+    from svd_lstm_tpu.io.native import NativeModel, save_reduced_weights_as_csv
+
+    ndir = "/tmp/verify_native_export"
+    save_reduced_weights_as_csv(rmodel, ndir)
+    nm = NativeModel(
+        ndir,
+        [f"lstm_{i}" for i in range(len(rmodel.layers))],
+        kinds="r" * len(rmodel.layers),
+    )
+    Tn = 128
+    y_native = nm.run(np.asarray(ds.X_test[0, :Tn], np.float32))
+    e_native = np.abs(y_native - pred_red2[:Tn]).max()
+    print(f"== native: C++ runtime vs JAX scan |Δ| {e_native:.2e}")
+    assert e_native < 1e-4
+except OSError as e:  # no g++ on a bare consumer box — report, don't fail
+    print(f"== native: SKIPPED (toolchain unavailable: {e})")
+
 # PROBE: cutoff above every sigma must keep >=1 value per gate, still run
 rm_extreme = st.make_reduced_model(fres.params, cutoff=1e9)
 pe = predict_full_run(rm_extreme, ds.X_test[:, :50], apply_fn=reduced_lstm_apply)
