@@ -221,3 +221,45 @@ def test_int8_artifact_dispatch_and_force(tmp_path, rng):
     assert fi["w_reduced"] and fi["u_reduced"], fi
     x = rng.normal(size=(20, 6)).astype(np.float32)
     np.testing.assert_allclose(auto.run(x), forced.run(x), atol=1e-4)
+
+
+def test_native_rejects_corrupt_and_mismatched_inputs(tmp_path, dense, rng):
+    """Loader hardening: ragged CSV rows, dirs/kinds count mismatches and
+    a multi-output head must all FAIL the load — each previously produced
+    a silently wrong (or OOB-reading) model."""
+    from svd_lstm_tpu.models.lstm import DenseParams
+
+    base = tmp_path / "ok"
+    save_model_weights_as_csv(dense, str(base))
+    # baseline loads
+    NativeModel(str(base), ["lstm_0", "lstm_1"], "dd", transposed=False)
+
+    # (a) dirs/kinds count mismatch: 2 dirs, 3 kinds — must refuse, not
+    # build a truncated model
+    with pytest.raises(RuntimeError):
+        NativeModel(str(base), ["lstm_0", "lstm_1"], "ddd", transposed=False)
+    with pytest.raises(RuntimeError):
+        NativeModel(str(base), ["lstm_0"], "dd", transposed=False)
+
+    # (b) ragged CSV: truncate one row of a gate matrix
+    import shutil as _sh
+
+    ragged = tmp_path / "ragged"
+    _sh.copytree(base, ragged)
+    wi = ragged / "lstm_0" / "Wi.csv"
+    lines = wi.read_text().strip().splitlines()
+    lines[1] = ",".join(lines[1].split(",")[:-2])  # drop 2 values from row 1
+    wi.write_text("\n".join(lines) + "\n")
+    with pytest.raises(RuntimeError):
+        NativeModel(str(ragged), ["lstm_0", "lstm_1"], "dd", transposed=False)
+
+    # (c) multi-output head: head dot would read past the last layer's h
+    wide_head = tmp_path / "widehead"
+    _sh.copytree(base, wide_head)
+    np.savetxt(
+        wide_head / "dense_top" / "weights.csv",
+        rng.normal(size=(8, 2)).astype(np.float32),
+        delimiter=",",
+    )
+    with pytest.raises(RuntimeError):
+        NativeModel(str(wide_head), ["lstm_0", "lstm_1"], "dd", transposed=False)
