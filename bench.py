@@ -383,6 +383,35 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
 
 
 def main():
+    # Backend-init watchdog: a wedged TPU tunnel hangs jax.devices()
+    # indefinitely (no local timeout exists for remote backend init). An
+    # explicit error line beats an eternal hang with no output at all.
+    import threading
+
+    init_done = threading.Event()
+    timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600"))
+
+    def _watchdog():
+        if not init_done.wait(timeout_s):
+            print(
+                json.dumps(
+                    {
+                        "metric": "whole_run_latency_ratio_reduced_over_full",
+                        "value": None,
+                        "unit": "ratio",
+                        "vs_baseline": None,
+                        "error": (
+                            f"backend init did not complete within "
+                            f"{timeout_s:.0f}s — TPU tunnel unreachable"
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
 
@@ -390,6 +419,7 @@ def main():
     from svd_lstm_tpu.bench.devtime import device_time_ms
 
     log(f"devices: {jax.devices()}")
+    init_done.set()
     on_tpu = jax.devices()[0].platform != "cpu"
 
     ref = None if "ref" in SKIP else bench_reference_scale(
