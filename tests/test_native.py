@@ -263,3 +263,24 @@ def test_native_rejects_corrupt_and_mismatched_inputs(tmp_path, dense, rng):
     )
     with pytest.raises(RuntimeError):
         NativeModel(str(wide_head), ["lstm_0", "lstm_1"], "dd", transposed=False)
+
+
+def test_int8_loader_rejects_truncated_and_corrupt_artifacts(tmp_path):
+    """A truncated or wrong-magic int8 artifact must fail the load, never
+    return a handle over partial weights."""
+    from svd_lstm_tpu.io.int8_export import save_model_int8_bin
+
+    params = init_stacked_lstm(jax.random.PRNGKey(12), input_dim=6, units=(10, 8))
+    path = tmp_path / "model_int8.bin"
+    save_model_int8_bin(params, str(path))
+    blob = path.read_bytes()
+
+    trunc = tmp_path / "trunc.bin"
+    trunc.write_bytes(blob[: len(blob) // 2])
+    with pytest.raises(RuntimeError):
+        NativeModel.from_int8(str(trunc))
+
+    bad = tmp_path / "badmagic.bin"
+    bad.write_bytes(b"NOTMAGIC" + blob[8:])
+    with pytest.raises(RuntimeError):
+        NativeModel.from_int8(str(bad))
