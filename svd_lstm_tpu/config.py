@@ -66,6 +66,17 @@ class TrainConfig:
     # ops/singular_train.py); dropout fine-tunes keep the XLA scan. See
     # BENCH_NOTES for the measured train-step speedups.
     recurrence_kernel: bool = False
+    # Chunked-time activation rematerialization for the XLA-scan train step
+    # (jax.checkpoint around inner scans of this many steps): BPTT then
+    # saves only raw input chunks + chunk-boundary (h, c) carries and
+    # recomputes projections/gates on the backward pass — O(T/K + K) live
+    # activation memory instead of O(T), ~2x extra forward FLOPs, identical
+    # values. Enables window lengths whose saved activations exceed HBM
+    # (the reference caps context at 200 steps purely by windowing,
+    # code/svd_acceleration_v3.py:113 — this removes the memory half of
+    # that cap). 0 = off. Ignored when recurrence_kernel takes the step
+    # (the Pallas engine has its own fixed residual plan).
+    remat_chunk: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -123,6 +123,7 @@ def lstm_layer_apply(
     dropout: float = 0.0,
     recurrent_dropout: float = 0.0,
     rng: jax.Array | None = None,
+    remat_chunk: int = 0,
 ):
     """Run one LSTM layer over a sequence.
 
@@ -134,6 +135,16 @@ def lstm_layer_apply(
     -scaled mask per gate, drawn once and reused at every timestep, applied
     to the inputs (``dropout``) and to h_{t-1} (``recurrent_dropout``).
     Requires ``rng`` when a rate is nonzero.
+
+    ``remat_chunk > 0`` rematerializes BPTT activations in time chunks of
+    that length (``jax.checkpoint`` around an inner scan): autodiff then
+    saves only the raw input chunks and the (h, c) carries at chunk
+    boundaries and recomputes each chunk's input projection and gate
+    intermediates during the backward pass — O(T/K + K) live activation
+    memory instead of O(T), for ~2× extra forward FLOPs. Identical values
+    (the recompute is the same arithmetic); use it to train window lengths
+    whose saved activations exceed HBM. No effect on inference (no grad →
+    nothing is saved either way).
     """
     B, T, d = x_seq.shape
     n = params.units
@@ -154,16 +165,21 @@ def lstm_layer_apply(
         # per-gate input masks, constant across time (Keras count=4)
         keep = 1.0 - dropout
         dp = jax.random.bernoulli(k_dp, keep, (4, B, d)).astype(dtype) / keep
-        # Hoisted per-gate projections: 4 masked inputs × gate blocks.
-        xp_parts = [
-            jnp.einsum("btd,dn->btn", x_seq * dp[g][:, None, :], params.W[:, g * n : (g + 1) * n])
-            for g in range(4)
-        ]
-        xp = jnp.concatenate(xp_parts, axis=-1) + params.b
-    else:
-        # Hoisted input projection: one big MXU matmul for the whole sequence.
-        xp = jnp.einsum("btd,dg->btg", x_seq, params.W) + params.b  # (B, T, 4n)
-    xp_t = jnp.swapaxes(xp, 0, 1)  # (T, B, 4n) — scan over leading axis
+
+    def make_xp(x_tbd):
+        """Input projection for (T', B, d) time-major input -> (T', B, 4n).
+        One big MXU matmul (the hoisted-projection design); under remat it
+        runs per chunk inside the checkpointed body so the projection is
+        recomputed, not saved."""
+        if use_dp:
+            parts = [
+                jnp.einsum(
+                    "tbd,dn->tbn", x_tbd * dp[g][None], params.W[:, g * n : (g + 1) * n]
+                )
+                for g in range(4)
+            ]
+            return jnp.concatenate(parts, axis=-1) + params.b
+        return jnp.einsum("tbd,dg->tbg", x_tbd, params.W) + params.b
 
     U = params.U
     if use_rdp:
@@ -181,7 +197,26 @@ def lstm_layer_apply(
         h, c = gate_update(z, c)
         return (h, c), h
 
-    (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), xp_t)
+    x_t = jnp.swapaxes(x_seq, 0, 1)  # (T, B, d) — scan over leading axis
+
+    if remat_chunk and 0 < remat_chunk < T:
+        K = int(remat_chunk)
+        n_chunks, tail = divmod(T, K)
+
+        @jax.checkpoint
+        def chunk_body(carry, x_chunk):  # x_chunk: (K, B, d)
+            return jax.lax.scan(step, carry, make_xp(x_chunk))
+
+        x_main = x_t[: n_chunks * K].reshape(n_chunks, K, B, d)
+        (hT, cT), h_main = jax.lax.scan(chunk_body, (h0, c0), x_main)
+        h_seq = h_main.reshape(n_chunks * K, B, n)
+        if tail:
+            (hT, cT), h_tail = jax.lax.scan(
+                step, (hT, cT), make_xp(x_t[n_chunks * K :])
+            )
+            h_seq = jnp.concatenate([h_seq, h_tail], axis=0)
+    else:
+        (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), make_xp(x_t))
     h_seq = jnp.swapaxes(h_seq, 0, 1)  # (B, T, n)
     if return_state:
         return h_seq, (hT, cT)
@@ -192,6 +227,7 @@ def stacked_lstm_apply(
     params: StackedLSTMParams,
     x_seq: jax.Array,
     return_sequences: bool = True,
+    remat_chunk: int = 0,
 ) -> jax.Array:
     """Stacked LSTM + Dense head.
 
@@ -199,10 +235,14 @@ def stacked_lstm_apply(
                               reference code/train_full_model_v4.py:129-139)
     return_sequences=False -> (batch, head_dim)      (many-to-one training,
                               reference code/train_full_model_v4.py:109-115)
+    remat_chunk > 0        -> chunked-time activation rematerialization in
+                              every layer (see :func:`lstm_layer_apply`) for
+                              long-window BPTT beyond the HBM activation
+                              budget; identical values.
     """
     h = x_seq
     for layer in params.layers:
-        h = lstm_layer_apply(layer, h)
+        h = lstm_layer_apply(layer, h, remat_chunk=remat_chunk)
     if not return_sequences:
         h = h[:, -1]
     return h @ params.head.w + params.head.b

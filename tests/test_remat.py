@@ -1,0 +1,103 @@
+"""Chunked-time BPTT rematerialization (models/lstm.py remat_chunk).
+
+The reference caps training context at 200-step windows purely by windowing
+(code/svd_acceleration_v3.py:113); remat removes the memory half of that
+cap: jax.checkpoint around inner time chunks makes autodiff save only raw
+input chunks + chunk-boundary carries (O(T/K + K) live activations instead
+of O(T)) and recompute projections/gates on the backward pass. Values are
+identical — the recompute is the same arithmetic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svd_lstm_tpu.config import TrainConfig
+from svd_lstm_tpu.models.lstm import (
+    init_stacked_lstm,
+    lstm_layer_apply,
+    stacked_lstm_apply,
+)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=8, units=(12, 12))
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 37, 8), jnp.float32)
+    return params, x
+
+
+@pytest.mark.parametrize("chunk", [7, 10, 37, 100])
+def test_forward_parity(small_model, chunk):
+    # 7 and 10 exercise the tail path (37 % K != 0); 37 and 100 must take
+    # the plain un-chunked scan (remat_chunk < T is required to chunk)
+    params, x = small_model
+    base = stacked_lstm_apply(params, x)
+    out = stacked_lstm_apply(params, x, remat_chunk=chunk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
+
+
+def test_forward_state_and_dropout_parity(small_model):
+    params, x = small_model
+    rng = jax.random.PRNGKey(3)
+    kw = dict(dropout=0.3, recurrent_dropout=0.2, rng=rng, return_state=True)
+    seq0, (h0, c0) = lstm_layer_apply(params.layers[0], x, **kw)
+    seq1, (h1, c1) = lstm_layer_apply(params.layers[0], x, remat_chunk=10, **kw)
+    np.testing.assert_allclose(np.asarray(seq1), np.asarray(seq0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-6)
+
+
+def test_gradient_parity(small_model):
+    params, x = small_model
+    y = jax.random.normal(jax.random.PRNGKey(2), (3,))
+
+    def loss(p, chunk):
+        pred = stacked_lstm_apply(p, x, return_sequences=False, remat_chunk=chunk)
+        return jnp.mean(jnp.square(pred[..., 0] - y))
+
+    g0 = jax.grad(lambda p: loss(p, 0))(params)
+    g1 = jax.grad(lambda p: loss(p, 10))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_memory_reduction_at_long_window():
+    """The point of the feature: the compiled backward's temp buffers shrink
+    by ~the chunking factor at long T (measured ~10x at T=4096/K=64 on the
+    CPU backend, which shares XLA's buffer-assignment accounting)."""
+    params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=8, units=(12, 12))
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 4096, 8), jnp.float32)
+
+    def make(chunk):
+        def loss(p):
+            pred = stacked_lstm_apply(p, x, return_sequences=False, remat_chunk=chunk)
+            return jnp.mean(jnp.square(pred))
+
+        return jax.jit(jax.grad(loss)).lower(params).compile()
+
+    try:
+        plain = make(0).memory_analysis().temp_size_in_bytes
+        remat = make(64).memory_analysis().temp_size_in_bytes
+    except (AttributeError, NotImplementedError) as e:  # pragma: no cover
+        pytest.skip(f"memory_analysis unavailable on this backend: {e}")
+    assert remat < plain / 4, (plain, remat)
+
+
+def test_fit_honors_remat_chunk():
+    """TrainConfig.remat_chunk routes the train step through the chunked
+    apply; losses match the plain run (identical arithmetic)."""
+    from svd_lstm_tpu.train.loop import fit
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(1, 400, 8)).astype(np.float32)
+    y = rng.normal(size=(400,)).astype(np.float32)
+    params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=8, units=(12,))
+
+    base = fit(params, X, y, TrainConfig(num_windows=8, window_len=50,
+                                         batch_size=4, epochs=2))
+    remat = fit(params, X, y, TrainConfig(num_windows=8, window_len=50,
+                                          batch_size=4, epochs=2,
+                                          remat_chunk=16))
+    np.testing.assert_allclose(remat.history, base.history, rtol=1e-5)
