@@ -82,7 +82,8 @@ def _three_step_split(x, left, sigma, right):
 
 
 def singular_input_projection(p: SingularLayerParams, x_seq: jax.Array) -> jax.Array:
-    """Whole-sequence input product + bias: (B, T, d) -> (B, T, 4n)."""
+    """Input product + bias over any leading dims: (..., d) -> (..., 4n)
+    (whole sequences batch- or time-major, or one (B, d) frame)."""
     if p.split:
         return _three_step_split(x_seq, p.wl, p.ws, p.wr) + p.b
     return _three_step_merged(x_seq, p.wl, p.ws, p.wr) + p.b
@@ -140,7 +141,12 @@ def singular_layer_apply(
     dropout: float = 0.0,
     recurrent_dropout: float = 0.0,
     rng: jax.Array | None = None,
+    remat_chunk: int = 0,
 ):
+    """``remat_chunk > 0``: chunked-time ``jax.checkpoint`` BPTT, exactly
+    like the dense layer (models/lstm.py) — the backward pass recomputes
+    each chunk's three-step input projection and gate intermediates from
+    the raw input chunk, so long fine-tune windows fit in HBM."""
     B, T, d = x_seq.shape
     n = p.units
     dtype = x_seq.dtype
@@ -158,10 +164,19 @@ def singular_layer_apply(
 
     if use_dp:
         dp = dropout_masks(k_dp, dropout, (B, d), 4 if p.split else 1, dtype)
-        xp = _masked_input_projection(p, x_seq, dp)
-    else:
-        xp = singular_input_projection(p, x_seq)
-    xp_t = jnp.swapaxes(xp, 0, 1)
+
+    def make_xp(x_tbd):
+        """Input three-step product for (T', B, d) time-major input.
+        The unmasked einsums are leading-dim-agnostic; the masked split
+        path is the time-major transpose of _masked_input_projection."""
+        if not use_dp:
+            return singular_input_projection(p, x_tbd)
+        if p.split:
+            xm = x_tbd[:, :, None, :] * jnp.transpose(dp, (1, 0, 2))[None]
+            xg = jnp.einsum("tbgd,gdk->tbgk", xm, p.wl) * p.ws
+            xp = jnp.einsum("tbgk,gkn->tbgn", xg, p.wr)
+            return xp.reshape(*xp.shape[:-2], -1) + p.b
+        return _three_step_merged(x_tbd * dp[0][None], p.wl, p.ws, p.wr) + p.b
 
     if use_rdp:
         rdp = dropout_masks(k_rdp, recurrent_dropout, (B, n), 4 if p.split else 1, dtype)
@@ -175,7 +190,26 @@ def singular_layer_apply(
         h, c = gate_update(z, c)
         return (h, c), h
 
-    (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), xp_t)
+    x_t = jnp.swapaxes(x_seq, 0, 1)  # (T, B, d)
+
+    if remat_chunk and 0 < remat_chunk < T:
+        K = int(remat_chunk)
+        n_chunks, tail = divmod(T, K)
+
+        @jax.checkpoint
+        def chunk_body(carry, x_chunk):  # (K, B, d)
+            return jax.lax.scan(step, carry, make_xp(x_chunk))
+
+        x_main = x_t[: n_chunks * K].reshape(n_chunks, K, B, d)
+        (hT, cT), h_main = jax.lax.scan(chunk_body, (h0, c0), x_main)
+        h_seq = h_main.reshape(n_chunks * K, B, n)
+        if tail:
+            (hT, cT), h_tail = jax.lax.scan(
+                step, (hT, cT), make_xp(x_t[n_chunks * K :])
+            )
+            h_seq = jnp.concatenate([h_seq, h_tail], axis=0)
+    else:
+        (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), make_xp(x_t))
     h_seq = jnp.swapaxes(h_seq, 0, 1)
     if return_state:
         return h_seq, (hT, cT)
@@ -189,6 +223,7 @@ def singular_lstm_apply(
     dropout: float = 0.0,
     recurrent_dropout: float = 0.0,
     rng: jax.Array | None = None,
+    remat_chunk: int = 0,
 ) -> jax.Array:
     use_drop = dropout > 0.0 or recurrent_dropout > 0.0
     if use_drop and rng is None:
@@ -197,7 +232,8 @@ def singular_lstm_apply(
     h = x_seq
     for layer, k in zip(params.layers, keys):
         h = singular_layer_apply(
-            layer, h, dropout=dropout, recurrent_dropout=recurrent_dropout, rng=k
+            layer, h, dropout=dropout, recurrent_dropout=recurrent_dropout, rng=k,
+            remat_chunk=remat_chunk,
         )
     if not return_sequences:
         h = h[:, -1]

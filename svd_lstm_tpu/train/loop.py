@@ -231,12 +231,19 @@ def fit(
                 singular_lstm_apply_fast_train,
                 interpret=jax.default_backend() == "cpu",
             )
-    elif cfg.remat_chunk and apply_fn is stacked_lstm_apply:
+    elif cfg.remat_chunk:
         # Long-window BPTT: chunked-time jax.checkpoint in every layer's
-        # scan (models/lstm.py) — O(T/K + K) live activation memory. Only
-        # the XLA-scan path carries the flag; the Pallas training engine
-        # (recurrence_kernel above) has its own fixed residual plan.
-        apply_fn = partial(stacked_lstm_apply, remat_chunk=cfg.remat_chunk)
+        # scan (models/lstm.py, models/singular.py) — O(T/K + K) live
+        # activation memory. Only the XLA-scan paths carry the flag; the
+        # Pallas training engine (recurrence_kernel above) has its own
+        # fixed residual plan, and dropout fine-tunes (wrapper apply_fn)
+        # keep their full-window scan.
+        from svd_lstm_tpu.models.singular import singular_lstm_apply
+
+        if apply_fn is stacked_lstm_apply:
+            apply_fn = partial(stacked_lstm_apply, remat_chunk=cfg.remat_chunk)
+        elif apply_fn is singular_lstm_apply:
+            apply_fn = partial(singular_lstm_apply, remat_chunk=cfg.remat_chunk)
     if optimizer is None:
         optimizer = optax.adam(cfg.learning_rate)
     # init_opt_state lets multi-phase callers (e.g. pruning fine-tune)

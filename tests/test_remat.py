@@ -85,6 +85,58 @@ def test_memory_reduction_at_long_window():
     assert remat < plain / 4, (plain, remat)
 
 
+@pytest.mark.parametrize("merged", [False, True])
+def test_singular_parity(small_model, merged):
+    """The factorized family chunks identically — forward (incl. tail,
+    dropout) and σ/U/V gradients."""
+    from svd_lstm_tpu.factor.svd import make_singular_model
+    from svd_lstm_tpu.models.singular import singular_lstm_apply
+
+    dense, x = small_model
+    sp = make_singular_model(dense, merged_kernel=merged)
+
+    base = singular_lstm_apply(sp, x)
+    out = singular_lstm_apply(sp, x, remat_chunk=10)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-6)
+
+    rng = jax.random.PRNGKey(5)
+    kw = dict(dropout=0.25, recurrent_dropout=0.25, rng=rng)
+    d0 = singular_lstm_apply(sp, x, **kw)
+    d1 = singular_lstm_apply(sp, x, remat_chunk=10, **kw)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-6)
+
+    y = jax.random.normal(jax.random.PRNGKey(2), (3,))
+
+    def loss(p, chunk):
+        pred = singular_lstm_apply(p, x, return_sequences=False, remat_chunk=chunk)
+        return jnp.mean(jnp.square(pred[..., 0] - y))
+
+    g0 = jax.grad(lambda p: loss(p, 0))(sp)
+    g1 = jax.grad(lambda p: loss(p, 10))(sp)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_finetune_honors_remat_chunk():
+    """The σ-only fine-tune (the reference's central stage) accepts the
+    knob through fit(): losses match the plain fine-tune."""
+    from svd_lstm_tpu.config import FactorConfig
+    from svd_lstm_tpu.factor.svd import make_singular_model
+    from svd_lstm_tpu.train.finetune import finetune
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(1, 400, 8)).astype(np.float32)
+    y = rng.normal(size=(400,)).astype(np.float32)
+    dense = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=8, units=(12,))
+    sp = make_singular_model(dense)
+
+    kw = dict(num_windows=8, window_len=50, batch_size=4, epochs=2)
+    base = finetune(sp, X, y, FactorConfig(hoyer=0.01), TrainConfig(**kw))
+    remat = finetune(sp, X, y, FactorConfig(hoyer=0.01),
+                     TrainConfig(**kw, remat_chunk=16))
+    np.testing.assert_allclose(remat.history, base.history, rtol=1e-5)
+
+
 def test_fit_honors_remat_chunk():
     """TrainConfig.remat_chunk routes the train step through the chunked
     apply; losses match the plain run (identical arithmetic)."""
