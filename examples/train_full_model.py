@@ -32,6 +32,13 @@ def main():
         "(TrainConfig.recurrence_kernel; 5.42 vs 9.17 ms/step at the "
         "flagship scale, bf16-class gradients — BENCH_NOTES.md)",
     )
+    ap.add_argument(
+        "--remat-chunk", type=int, default=0, metavar="K",
+        help="chunked-time jax.checkpoint BPTT for long windows "
+        "(TrainConfig.remat_chunk: O(T/K + K) live activation memory, "
+        "identical values; e.g. 512x4000-step windows need 25 GB of "
+        "temps plain but 2.8 GB at K=128 — BENCH_NOTES.md)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -50,12 +57,13 @@ def main():
         ds = preprocess_raw(synthetic_dropbear_raw(duration=12.0), DataConfig(split_time=8.0))
         tcfg = TrainConfig(
             num_windows=2048, window_len=100, epochs=3, batch_size=64,
-            recurrence_kernel=args.kernel,
+            recurrence_kernel=args.kernel, remat_chunk=args.remat_chunk,
         )
         units = (40, 40)
     else:
         ds = preprocess(DataConfig())
-        tcfg = TrainConfig(recurrence_kernel=args.kernel)
+        tcfg = TrainConfig(recurrence_kernel=args.kernel,
+                           remat_chunk=args.remat_chunk)
         units = (40, 40, 40, 40)
 
     params = st.init_stacked_lstm(jax.random.PRNGKey(tcfg.seed), 16, units)
