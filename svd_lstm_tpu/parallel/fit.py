@@ -113,6 +113,15 @@ def fit_dp(
 
             apply_fn = partial(singular_lstm_apply_fast_train, interpret=interpret)
             using_kernel = True
+    elif cfg.remat_chunk:
+        # chunked-time jax.checkpoint BPTT, same contract as train.loop.fit
+        # (long windows whose saved activations exceed HBM; identical values)
+        from svd_lstm_tpu.models.singular import singular_lstm_apply
+
+        if apply_fn is stacked_lstm_apply:
+            apply_fn = partial(stacked_lstm_apply, remat_chunk=cfg.remat_chunk)
+        elif apply_fn is singular_lstm_apply:
+            apply_fn = partial(singular_lstm_apply, remat_chunk=cfg.remat_chunk)
 
     params = jax.device_put(
         jax.tree.map(lambda a: jnp.array(a, copy=True), params),

@@ -137,6 +137,25 @@ def test_finetune_honors_remat_chunk():
     np.testing.assert_allclose(remat.history, base.history, rtol=1e-5)
 
 
+def test_fit_dp_honors_remat_chunk():
+    """The dp loop takes the same chunked apply: history matches the
+    single-device remat fit to reduction-order noise."""
+    from svd_lstm_tpu.parallel.fit import fit_dp
+    from svd_lstm_tpu.parallel.mesh import make_mesh
+    from svd_lstm_tpu.train.loop import fit
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(1, 400, 8)).astype(np.float32)
+    y = rng.normal(size=(400,)).astype(np.float32)
+    params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=8, units=(12,))
+    cfg = TrainConfig(num_windows=16, window_len=48, batch_size=8, epochs=2,
+                      remat_chunk=16)
+
+    r_one = fit(params, X, y, cfg)
+    r_dp = fit_dp(params, X, y, make_mesh(dp=8, tp=1), cfg=cfg)
+    np.testing.assert_allclose(r_dp.history, r_one.history, rtol=1e-4)
+
+
 def test_fit_honors_remat_chunk():
     """TrainConfig.remat_chunk routes the train step through the chunked
     apply; losses match the plain run (identical arithmetic)."""
