@@ -105,6 +105,33 @@ def gate_update_bwd(
     return dz, dc_tot * f
 
 
+def chunked_remat_scan(step, make_xp, x_t, carry0, K: int):
+    """Shared chunked-time rematerialized recurrence (dense + singular
+    layers): ``lax.scan(step, carry0, make_xp(x_t))`` but with
+    ``jax.checkpoint`` around inner chunks of ``K`` steps, so autodiff
+    saves only the raw input chunks and the chunk-boundary carries and
+    recomputes ``make_xp`` + gate intermediates on the backward pass.
+
+    x_t: (T, B, d) time-major input; make_xp: (T', B, d) -> (T', B, 4n);
+    step: scan body over xp rows. Returns ``(carryT, h_seq)`` with h_seq
+    time-major (T, B, n). Caller guarantees 0 < K < T.
+    """
+    T, B, d = x_t.shape
+    n_chunks, tail = divmod(T, K)
+
+    @jax.checkpoint
+    def chunk_body(carry, x_chunk):  # x_chunk: (K, B, d)
+        return jax.lax.scan(step, carry, make_xp(x_chunk))
+
+    x_main = x_t[: n_chunks * K].reshape(n_chunks, K, B, d)
+    carry, h_main = jax.lax.scan(chunk_body, carry0, x_main)
+    h_seq = h_main.reshape(n_chunks * K, B, h_main.shape[-1])
+    if tail:
+        carry, h_tail = jax.lax.scan(step, carry, make_xp(x_t[n_chunks * K :]))
+        h_seq = jnp.concatenate([h_seq, h_tail], axis=0)
+    return carry, h_seq
+
+
 def lstm_cell_step(
     params: LSTMLayerParams, x: jax.Array, h: jax.Array, c: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -200,21 +227,9 @@ def lstm_layer_apply(
     x_t = jnp.swapaxes(x_seq, 0, 1)  # (T, B, d) — scan over leading axis
 
     if remat_chunk and 0 < remat_chunk < T:
-        K = int(remat_chunk)
-        n_chunks, tail = divmod(T, K)
-
-        @jax.checkpoint
-        def chunk_body(carry, x_chunk):  # x_chunk: (K, B, d)
-            return jax.lax.scan(step, carry, make_xp(x_chunk))
-
-        x_main = x_t[: n_chunks * K].reshape(n_chunks, K, B, d)
-        (hT, cT), h_main = jax.lax.scan(chunk_body, (h0, c0), x_main)
-        h_seq = h_main.reshape(n_chunks * K, B, n)
-        if tail:
-            (hT, cT), h_tail = jax.lax.scan(
-                step, (hT, cT), make_xp(x_t[n_chunks * K :])
-            )
-            h_seq = jnp.concatenate([h_seq, h_tail], axis=0)
+        (hT, cT), h_seq = chunked_remat_scan(
+            step, make_xp, x_t, (h0, c0), int(remat_chunk)
+        )
     else:
         (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), make_xp(x_t))
     h_seq = jnp.swapaxes(h_seq, 0, 1)  # (B, T, n)

@@ -30,7 +30,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from svd_lstm_tpu.models.lstm import DenseParams, gate_update
+from svd_lstm_tpu.models.lstm import DenseParams, chunked_remat_scan, gate_update
 from svd_lstm_tpu.utils.linalg import zeros_varying_like
 
 
@@ -193,21 +193,9 @@ def singular_layer_apply(
     x_t = jnp.swapaxes(x_seq, 0, 1)  # (T, B, d)
 
     if remat_chunk and 0 < remat_chunk < T:
-        K = int(remat_chunk)
-        n_chunks, tail = divmod(T, K)
-
-        @jax.checkpoint
-        def chunk_body(carry, x_chunk):  # (K, B, d)
-            return jax.lax.scan(step, carry, make_xp(x_chunk))
-
-        x_main = x_t[: n_chunks * K].reshape(n_chunks, K, B, d)
-        (hT, cT), h_main = jax.lax.scan(chunk_body, (h0, c0), x_main)
-        h_seq = h_main.reshape(n_chunks * K, B, n)
-        if tail:
-            (hT, cT), h_tail = jax.lax.scan(
-                step, (hT, cT), make_xp(x_t[n_chunks * K :])
-            )
-            h_seq = jnp.concatenate([h_seq, h_tail], axis=0)
+        (hT, cT), h_seq = chunked_remat_scan(
+            step, make_xp, x_t, (h0, c0), int(remat_chunk)
+        )
     else:
         (hT, cT), h_seq = jax.lax.scan(step, (h0, c0), make_xp(x_t))
     h_seq = jnp.swapaxes(h_seq, 0, 1)

@@ -43,6 +43,7 @@ from svd_lstm_tpu.train.loop import (
     drive_epochs,
     make_val_fn,
     mse_last_step,
+    resolve_train_apply_fn,
     shuffled_epoch_batches,
 )
 
@@ -92,36 +93,10 @@ def fit_dp(
         optimizer = optax.adam(cfg.learning_rate)
 
     # validation always runs the EXACT pre-swap forward (config.py
-    # invariant, same as train.loop.fit)
+    # invariant, same as train.loop.fit); kernel/remat swaps are the ONE
+    # shared resolve_train_apply_fn — fit and fit_dp cannot drift
     exact_apply_fn = apply_fn
-    using_kernel = False
-    if cfg.recurrence_kernel:
-        from svd_lstm_tpu.models.singular import singular_lstm_apply
-
-        interpret = jax.default_backend() == "cpu"
-        if apply_fn is stacked_lstm_apply:
-            from svd_lstm_tpu.ops.pallas_train import (
-                stacked_lstm_apply_fast_train,
-            )
-
-            apply_fn = partial(stacked_lstm_apply_fast_train, interpret=interpret)
-            using_kernel = True
-        elif apply_fn is singular_lstm_apply:
-            from svd_lstm_tpu.ops.singular_train import (
-                singular_lstm_apply_fast_train,
-            )
-
-            apply_fn = partial(singular_lstm_apply_fast_train, interpret=interpret)
-            using_kernel = True
-    elif cfg.remat_chunk:
-        # chunked-time jax.checkpoint BPTT, same contract as train.loop.fit
-        # (long windows whose saved activations exceed HBM; identical values)
-        from svd_lstm_tpu.models.singular import singular_lstm_apply
-
-        if apply_fn is stacked_lstm_apply:
-            apply_fn = partial(stacked_lstm_apply, remat_chunk=cfg.remat_chunk)
-        elif apply_fn is singular_lstm_apply:
-            apply_fn = partial(singular_lstm_apply, remat_chunk=cfg.remat_chunk)
+    apply_fn, using_kernel = resolve_train_apply_fn(cfg, apply_fn)
 
     params = jax.device_put(
         jax.tree.map(lambda a: jnp.array(a, copy=True), params),
@@ -257,7 +232,9 @@ def finetune_dp(
 
     # same wrapper + key derivation as the single-device finetune (one
     # shared definition — they cannot drift)
-    apply_fn, dropout_rng = dropout_apply_fn(factor_cfg, train_cfg.seed)
+    apply_fn, dropout_rng = dropout_apply_fn(
+        factor_cfg, train_cfg.seed, remat_chunk=train_cfg.remat_chunk
+    )
     optimizer = make_finetune_optimizer(
         sparams, factor_cfg, train_cfg.learning_rate
     )

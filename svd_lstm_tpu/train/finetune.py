@@ -70,7 +70,7 @@ def make_finetune_optimizer(
     )
 
 
-def dropout_apply_fn(factor_cfg: FactorConfig, seed: int):
+def dropout_apply_fn(factor_cfg: FactorConfig, seed: int, remat_chunk: int = 0):
     """``(apply_fn, dropout_rng)`` for the singular fine-tune: a
     Keras-semantics per-gate dropout wrapper when configured
     (reference code/svd_classes_v3.py:121-137), the plain apply otherwise.
@@ -80,14 +80,21 @@ def dropout_apply_fn(factor_cfg: FactorConfig, seed: int):
     evaluation deterministic. ONE shared definition — ``finetune`` and
     ``parallel.fit.finetune_dp`` both use it, so the key derivation
     (seed ^ 0x5EED) and wrapper semantics cannot drift between the
-    single- and multi-device loops."""
+    single- and multi-device loops.
+
+    ``remat_chunk`` bakes the chunked-time checkpoint knob into the
+    wrapper (the layer supports remat with dropout masks); the wrapper
+    advertises it via ``remat_chunk_applied`` so the train loops'
+    ``resolve_train_apply_fn`` knows the knob was honored."""
     if factor_cfg.dropout <= 0.0 and factor_cfg.recurrent_dropout <= 0.0:
         return singular_lstm_apply, None
     dropout_rng = jax.random.PRNGKey(seed ^ 0x5EED)
 
     def apply_fn(p, x, return_sequences=True, rng=None):
         if rng is None:
-            return singular_lstm_apply(p, x, return_sequences)
+            return singular_lstm_apply(
+                p, x, return_sequences, remat_chunk=remat_chunk
+            )
         return singular_lstm_apply(
             p,
             x,
@@ -95,8 +102,10 @@ def dropout_apply_fn(factor_cfg: FactorConfig, seed: int):
             dropout=factor_cfg.dropout,
             recurrent_dropout=factor_cfg.recurrent_dropout,
             rng=rng,
+            remat_chunk=remat_chunk,
         )
 
+    apply_fn.remat_chunk_applied = remat_chunk
     return apply_fn, dropout_rng
 
 
@@ -116,7 +125,9 @@ def finetune(
             batch_size=factor_cfg.finetune_batch_size,
         )
     optimizer = make_finetune_optimizer(sparams, factor_cfg, train_cfg.learning_rate)
-    apply_fn, dropout_rng = dropout_apply_fn(factor_cfg, train_cfg.seed)
+    apply_fn, dropout_rng = dropout_apply_fn(
+        factor_cfg, train_cfg.seed, remat_chunk=train_cfg.remat_chunk
+    )
 
     return fit(
         sparams,

@@ -158,6 +158,68 @@ def drive_epochs(
     )
 
 
+def resolve_train_apply_fn(cfg: TrainConfig, apply_fn: Callable):
+    """The kernel/remat apply-fn swaps shared by ``fit`` and
+    ``parallel.fit_dp`` (ONE definition — the two loops cannot drift).
+    Returns ``(apply_fn, using_kernel)``.
+
+    * ``cfg.recurrence_kernel``: the dense scan and the σ fine-tune swap
+      to the custom-VJP Pallas training engine (ops/pallas_train.py /
+      ops/singular_train.py; dots are DEFAULT-precision, like
+      matmul_precision="bfloat16"; off-TPU the kernels run in interpret
+      mode so the flag stays testable on the CI CPU mesh). Dropout
+      wrappers and custom applies keep their scan — the kernels have no
+      mask support — and remat below may still apply to them.
+    * ``cfg.remat_chunk``: chunked-time ``jax.checkpoint`` BPTT
+      (models/lstm.py, models/singular.py) for the XLA-scan paths —
+      O(T/K + K) live activation memory, identical values. A wrapper
+      that already baked the knob in advertises it via
+      ``remat_chunk_applied`` (train/finetune.dropout_apply_fn); any
+      other apply_fn cannot carry it, which warns instead of silently
+      training without remat (and then OOMing exactly as if the knob
+      were ignored).
+    """
+    from svd_lstm_tpu.models.singular import singular_lstm_apply
+
+    if cfg.recurrence_kernel:
+        interpret = jax.default_backend() == "cpu"
+        if apply_fn is stacked_lstm_apply:
+            from svd_lstm_tpu.ops.pallas_train import (
+                stacked_lstm_apply_fast_train,
+            )
+
+            return (
+                partial(stacked_lstm_apply_fast_train, interpret=interpret),
+                True,
+            )
+        if apply_fn is singular_lstm_apply:
+            from svd_lstm_tpu.ops.singular_train import (
+                singular_lstm_apply_fast_train,
+            )
+
+            return (
+                partial(singular_lstm_apply_fast_train, interpret=interpret),
+                True,
+            )
+    if cfg.remat_chunk:
+        if apply_fn is stacked_lstm_apply:
+            return partial(stacked_lstm_apply, remat_chunk=cfg.remat_chunk), False
+        if apply_fn is singular_lstm_apply:
+            return partial(singular_lstm_apply, remat_chunk=cfg.remat_chunk), False
+        if getattr(apply_fn, "remat_chunk_applied", None) != cfg.remat_chunk:
+            import warnings
+
+            warnings.warn(
+                f"TrainConfig.remat_chunk={cfg.remat_chunk} cannot be "
+                f"applied to apply_fn {apply_fn!r}: only the stock "
+                "stacked/singular scans (or a dropout_apply_fn wrapper "
+                "built with the same remat_chunk) carry the knob — "
+                "training will run WITHOUT activation rematerialization",
+                stacklevel=3,
+            )
+    return apply_fn, False
+
+
 def fit(
     params: Any,
     X_train: np.ndarray,
@@ -197,53 +259,13 @@ def fit(
     params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
     # Validation metrics always run exact (config.py invariant): keep the
     # pre-swap apply_fn for val_fn — recurrence_kernel relaxes only the
-    # training step's dots, like matmul_precision does.
+    # training step's dots, like matmul_precision does. The kernel/remat
+    # swaps themselves live in resolve_train_apply_fn (the reference's
+    # fine-tune stage, code/svd_acceleration_v3.py:119-128, runs through
+    # the same kernels via the differentiable dense reconstruction in
+    # ops/singular_train.py).
     exact_apply_fn = apply_fn
-    if cfg.recurrence_kernel:
-        # custom-VJP Pallas recurrence (ops/pallas_train.py). Dots there
-        # are explicitly DEFAULT-precision, matching the
-        # matmul_precision="bfloat16" regime regardless of the scope below.
-        # Off-TPU the kernels run in interpret mode (slow but correct) so
-        # the flag stays testable on the CI CPU mesh. The singular
-        # fine-tune (reference code/svd_acceleration_v3.py:119-128) runs
-        # through the same kernels via a differentiable dense
-        # reconstruction (ops/singular_train.py); dropout fine-tunes keep
-        # the scan (apply_fn is then a wrapper, not singular_lstm_apply).
-        from functools import partial as _partial
-
-        from svd_lstm_tpu.models.singular import singular_lstm_apply
-
-        if apply_fn is stacked_lstm_apply:
-            from svd_lstm_tpu.ops.pallas_train import (
-                stacked_lstm_apply_fast_train,
-            )
-
-            apply_fn = _partial(
-                stacked_lstm_apply_fast_train,
-                interpret=jax.default_backend() == "cpu",
-            )
-        elif apply_fn is singular_lstm_apply:
-            from svd_lstm_tpu.ops.singular_train import (
-                singular_lstm_apply_fast_train,
-            )
-
-            apply_fn = _partial(
-                singular_lstm_apply_fast_train,
-                interpret=jax.default_backend() == "cpu",
-            )
-    elif cfg.remat_chunk:
-        # Long-window BPTT: chunked-time jax.checkpoint in every layer's
-        # scan (models/lstm.py, models/singular.py) — O(T/K + K) live
-        # activation memory. Only the XLA-scan paths carry the flag; the
-        # Pallas training engine (recurrence_kernel above) has its own
-        # fixed residual plan, and dropout fine-tunes (wrapper apply_fn)
-        # keep their full-window scan.
-        from svd_lstm_tpu.models.singular import singular_lstm_apply
-
-        if apply_fn is stacked_lstm_apply:
-            apply_fn = partial(stacked_lstm_apply, remat_chunk=cfg.remat_chunk)
-        elif apply_fn is singular_lstm_apply:
-            apply_fn = partial(singular_lstm_apply, remat_chunk=cfg.remat_chunk)
+    apply_fn, _ = resolve_train_apply_fn(cfg, apply_fn)
     if optimizer is None:
         optimizer = optax.adam(cfg.learning_rate)
     # init_opt_state lets multi-phase callers (e.g. pruning fine-tune)

@@ -137,6 +137,91 @@ def test_finetune_honors_remat_chunk():
     np.testing.assert_allclose(remat.history, base.history, rtol=1e-5)
 
 
+def test_dropout_gradient_parity(small_model):
+    """The genuinely new autodiff path: backward recompute of the MASKED
+    projections through the closed-over dropout masks, both families."""
+    from svd_lstm_tpu.factor.svd import make_singular_model
+    from svd_lstm_tpu.models.singular import singular_lstm_apply
+
+    dense, x = small_model
+    sp = make_singular_model(dense, merged_kernel=False)
+    rng = jax.random.PRNGKey(7)
+    y = jax.random.normal(jax.random.PRNGKey(2), (3,))
+
+    def dense_loss(p, chunk):
+        h = x
+        for layer in p.layers:
+            h = lstm_layer_apply(layer, h, dropout=0.3, recurrent_dropout=0.2,
+                                 rng=rng, remat_chunk=chunk)
+        return jnp.mean(jnp.square(h[:, -1, 0] - y))
+
+    def sing_loss(p, chunk):
+        pred = singular_lstm_apply(p, x, return_sequences=False, dropout=0.3,
+                                   recurrent_dropout=0.2, rng=rng,
+                                   remat_chunk=chunk)
+        return jnp.mean(jnp.square(pred[..., 0] - y))
+
+    for loss, params in ((dense_loss, dense), (sing_loss, sp)):
+        g0 = jax.grad(lambda p: loss(p, 0))(params)
+        g1 = jax.grad(lambda p: loss(p, 10))(params)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_resolver_applies_and_warns():
+    """Wiring proof (loss parity alone cannot detect the knob being
+    silently dropped — remat is value-identical by design): the shared
+    resolver must return a remat-carrying partial for the stock scans,
+    accept a wrapper that baked the knob in, and WARN for any apply_fn
+    that cannot carry it."""
+    import functools
+    import warnings
+
+    from svd_lstm_tpu.config import FactorConfig
+    from svd_lstm_tpu.models.singular import singular_lstm_apply
+    from svd_lstm_tpu.train.finetune import dropout_apply_fn
+    from svd_lstm_tpu.train.loop import resolve_train_apply_fn
+
+    cfg = TrainConfig(remat_chunk=16)
+    for stock in (stacked_lstm_apply, singular_lstm_apply):
+        fn, using_kernel = resolve_train_apply_fn(cfg, stock)
+        assert isinstance(fn, functools.partial)
+        assert fn.keywords["remat_chunk"] == 16 and not using_kernel
+
+    # dropout wrapper built WITH the knob: accepted silently
+    wrapped, _ = dropout_apply_fn(FactorConfig(dropout=0.2), seed=0, remat_chunk=16)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        fn, _ = resolve_train_apply_fn(cfg, wrapped)
+    assert fn is wrapped
+
+    # custom apply_fn that can't carry the knob: warns, runs without remat
+    custom = lambda p, x, return_sequences=True, rng=None: None  # noqa: E731
+    with pytest.warns(UserWarning, match="remat_chunk"):
+        fn, _ = resolve_train_apply_fn(cfg, custom)
+    assert fn is custom
+
+
+def test_dropout_finetune_remat_matches_plain():
+    """remat_chunk now reaches the DROPOUT fine-tune through the wrapper
+    (review finding: it used to be silently dropped): identical history."""
+    from svd_lstm_tpu.config import FactorConfig
+    from svd_lstm_tpu.factor.svd import make_singular_model
+    from svd_lstm_tpu.train.finetune import finetune
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(1, 300, 8)).astype(np.float32)
+    y = rng.normal(size=(300,)).astype(np.float32)
+    dense = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=8, units=(12,))
+    sp = make_singular_model(dense)
+    fcfg = FactorConfig(hoyer=0.01, dropout=0.2)
+    kw = dict(num_windows=8, window_len=40, batch_size=4, epochs=2)
+
+    base = finetune(sp, X, y, fcfg, TrainConfig(**kw))
+    remat = finetune(sp, X, y, fcfg, TrainConfig(**kw, remat_chunk=13))
+    np.testing.assert_allclose(remat.history, base.history, rtol=1e-5)
+
+
 def test_fit_dp_honors_remat_chunk():
     """The dp loop takes the same chunked apply: history matches the
     single-device remat fit to reduction-order noise."""
