@@ -85,6 +85,10 @@ class FactorConfig:
 
     merged_kernel: bool = False     # split (per-gate) factorization is the driver default
     hoyer: float = 0.01             # Hoyer L1/L2 coefficient on σ vectors
+    # Beyond-reference alternative sparsifier: L1 on σ == the nuclear/trace
+    # norm of the factorized matrix (factor/regularizers.trace_norm_penalty,
+    # arxiv 1710.09026). Composable with hoyer; 0 = off.
+    trace_norm: float = 0.0
     orthogonal: float = 0.0         # orthogonality penalty on U/V factors; >0 => train U/V
     train_uv: bool = False
     cutoff: float = 0.05            # σ truncation threshold

@@ -9,6 +9,14 @@
   semantics (mode='rows'), used on the U/V factors when they are trainable
   (reference code/svd_classes_v3.py:513-518,572-577): mean absolute
   off-diagonal entry of the row-normalized Gram matrix, halved.
+* ``trace_norm_penalty`` — beyond-reference alternative sparsifier: an L1
+  penalty on a σ vector of an (orthogonal-factor) SVD parameterization is
+  exactly the nuclear/trace norm ‖W‖* of the reconstructed matrix, the
+  convex surrogate for rank (trace-norm regularization for faster RNN
+  inference, arxiv 1710.09026; see PAPERS.md). Unlike the Hoyer ratio it
+  shrinks total energy — constant pressure per σ regardless of scale —
+  which truncates more aggressively at a fixed cutoff but trades accuracy
+  sooner.
 """
 
 from __future__ import annotations
@@ -20,6 +28,13 @@ def hoyer_penalty(x: jnp.ndarray, coef: float = 1.0, eps: float = 1e-12) -> jnp.
     """coef * Σ|x| / (Σx² + eps)."""
     x = x.reshape(-1)
     return coef * jnp.sum(jnp.abs(x)) / (jnp.sum(jnp.square(x)) + eps)
+
+
+def trace_norm_penalty(x: jnp.ndarray, coef: float = 1.0) -> jnp.ndarray:
+    """coef * Σ|x| — the nuclear norm of the factorized matrix when ``x``
+    is its singular-value vector (factors orthogonal, as SVD surgery
+    initializes them)."""
+    return coef * jnp.sum(jnp.abs(x))
 
 
 def orthogonal_penalty(

@@ -24,19 +24,27 @@ import jax
 import optax
 
 from svd_lstm_tpu.config import FactorConfig, TrainConfig
-from svd_lstm_tpu.factor.regularizers import hoyer_penalty, orthogonal_penalty
+from svd_lstm_tpu.factor.regularizers import (
+    hoyer_penalty,
+    orthogonal_penalty,
+    trace_norm_penalty,
+)
 from svd_lstm_tpu.models.singular import SingularLayerParams, SingularModelParams
 from svd_lstm_tpu.models.singular import singular_lstm_apply
 from svd_lstm_tpu.train.loop import TrainResult, fit
 
 
 def regularization_loss(params: SingularModelParams, cfg: FactorConfig):
-    """Σ layers: hoyer(σ_w) + hoyer(σ_u) [+ orthogonal(U/V factors)]."""
+    """Σ layers: hoyer(σ_w) + hoyer(σ_u) [+ trace_norm(σ)] [+ orthogonal
+    (U/V factors)]."""
     total = 0.0
     for layer in params.layers:
         if cfg.hoyer:
             total = total + hoyer_penalty(layer.ws, cfg.hoyer)
             total = total + hoyer_penalty(layer.us, cfg.hoyer)
+        if cfg.trace_norm:
+            total = total + trace_norm_penalty(layer.ws, cfg.trace_norm)
+            total = total + trace_norm_penalty(layer.us, cfg.trace_norm)
         if cfg.orthogonal:
             for m in (layer.wl, layer.wr, layer.ul, layer.ur):
                 total = total + orthogonal_penalty(m, cfg.orthogonal, mode="rows")

@@ -157,6 +157,53 @@ class TestRegularizers:
     def test_hoyer_safe_at_zero(self):
         assert np.isfinite(float(hoyer_penalty(jnp.zeros(5), 1.0)))
 
+    def test_trace_norm_is_nuclear_norm_of_factorized_matrix(self, rng):
+        """L1 on σ == ‖W‖* (sum of singular values) for an orthogonal-factor
+        SVD parameterization — the convex rank surrogate (arxiv 1710.09026)."""
+        from svd_lstm_tpu.factor.regularizers import trace_norm_penalty
+
+        w = rng.normal(size=(12, 20)).astype(np.float32)
+        sigma = np.linalg.svd(w, compute_uv=False)
+        got = float(trace_norm_penalty(jnp.asarray(sigma), coef=0.3))
+        assert got == pytest.approx(0.3 * sigma.sum(), rel=1e-5)
+
+    def test_trace_norm_in_regularization_loss_and_shrinks_sigma(self):
+        """FactorConfig.trace_norm reaches the fine-tune loss, and a short
+        fine-tune under it shrinks mean |σ| relative to the unregularized
+        run (constant shrink pressure, unlike the scale-invariant Hoyer)."""
+        from svd_lstm_tpu.config import FactorConfig, TrainConfig
+        from svd_lstm_tpu.factor.svd import make_singular_model
+        from svd_lstm_tpu.models.lstm import init_stacked_lstm
+        from svd_lstm_tpu.train.finetune import finetune, regularization_loss
+
+        dense = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=6, units=(8,))
+        sp = make_singular_model(dense)
+        base = float(regularization_loss(sp, FactorConfig(hoyer=0.0)))
+        with_tn = float(
+            regularization_loss(sp, FactorConfig(hoyer=0.0, trace_norm=0.5))
+        )
+        expected = 0.5 * sum(
+            float(jnp.sum(jnp.abs(l.ws)) + jnp.sum(jnp.abs(l.us)))
+            for l in sp.layers
+        )
+        assert with_tn - base == pytest.approx(expected, rel=1e-5)
+
+        rng_np = np.random.default_rng(0)
+        X = rng_np.normal(size=(1, 200, 6)).astype(np.float32)
+        y = rng_np.normal(size=(200,)).astype(np.float32)
+        kw = dict(num_windows=8, window_len=25, batch_size=4, epochs=3)
+
+        def mean_abs_sigma(p):
+            return float(
+                np.mean([np.abs(np.asarray(l.ws)).mean() for l in p.layers]
+                        + [np.abs(np.asarray(l.us)).mean() for l in p.layers])
+            )
+
+        r0 = finetune(sp, X, y, FactorConfig(hoyer=0.0), TrainConfig(**kw))
+        r1 = finetune(sp, X, y, FactorConfig(hoyer=0.0, trace_norm=0.1),
+                      TrainConfig(**kw))
+        assert mean_abs_sigma(r1.params) < mean_abs_sigma(r0.params)
+
     def test_orthogonal_zero_for_orthogonal(self):
         q, _ = np.linalg.qr(np.random.default_rng(0).normal(size=(10, 10)))
         val = float(orthogonal_penalty(jnp.asarray(q, jnp.float32), factor=1.0))
