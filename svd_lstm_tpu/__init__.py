@@ -62,7 +62,11 @@ from svd_lstm_tpu.factor.svd import (
     get_model_singular_values,
     set_model_matrix_rank,
 )
-from svd_lstm_tpu.factor.regularizers import hoyer_penalty, orthogonal_penalty
+from svd_lstm_tpu.factor.regularizers import (
+    hoyer_penalty,
+    orthogonal_penalty,
+    trace_norm_penalty,
+)
 from svd_lstm_tpu.train.metrics import rmse, nrmse, signaltonoise
 from svd_lstm_tpu.api import predict
 from svd_lstm_tpu.io.checkpoint import load_params, save_params

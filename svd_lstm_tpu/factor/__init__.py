@@ -9,7 +9,11 @@ from svd_lstm_tpu.factor.svd import (
     get_model_singular_values,
     set_model_matrix_rank,
 )
-from svd_lstm_tpu.factor.regularizers import hoyer_penalty, orthogonal_penalty
+from svd_lstm_tpu.factor.regularizers import (
+    hoyer_penalty,
+    orthogonal_penalty,
+    trace_norm_penalty,
+)
 from svd_lstm_tpu.factor.prune_magnitude import (
     PolynomialDecaySchedule,
     finetune_with_pruning,
