@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--ckpt", default="./model_saves/pretrained_sequential.npz")
     ap.add_argument("--plots", default="./plots")
     ap.add_argument("--hoyer", type=float, default=0.01)
+    ap.add_argument(
+        "--trace-norm", type=float, default=0.0,
+        help="nuclear-norm sparsifier on the sigma vectors (beyond-reference "
+        "alternative to --hoyer, composable; factor/regularizers.py)",
+    )
     ap.add_argument("--orthogonal", type=float, default=0.0)
     ap.add_argument("--cutoff", type=float, default=0.05)
     ap.add_argument("--merged-kernel", action="store_true")
@@ -80,6 +85,7 @@ def main():
 
     fcfg = FactorConfig(
         merged_kernel=args.merged_kernel, hoyer=args.hoyer,
+        trace_norm=args.trace_norm,
         orthogonal=args.orthogonal, cutoff=args.cutoff,
     )
     smodel = st.make_singular_model(model, merged_kernel=fcfg.merged_kernel)
