@@ -404,6 +404,18 @@ def main():
                             f"backend init did not complete within "
                             f"{timeout_s:.0f}s — TPU tunnel unreachable"
                         ),
+                        # NOT a fresh measurement: pointer to the last
+                        # complete real-chip run so a wedged round still
+                        # records where the evidence lives.
+                        "last_good_capture": {
+                            "captured_utc": "2026-08-17T18:55Z",
+                            "commit": "25866ea",
+                            "headline_ratio": 0.705,
+                            "where": (
+                                "BENCH_NOTES.md §'Round-3 headline capture' "
+                                "(verbatim full JSON line)"
+                            ),
+                        },
                     }
                 ),
                 flush=True,

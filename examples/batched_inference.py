@@ -60,7 +60,7 @@ def main():
     mesh = make_mesh(dp=n_dev, tp=1)
     run = make_batched_inference(mesh, stacked_lstm_apply)
 
-    from svd_lstm_tpu.utils.precision import cast_params, matmul_scope
+    from svd_lstm_tpu.utils.precision import matmul_scope
 
     if args.precision == "fast":
         # shard_map + the VMEM-resident Pallas recurrence per device (the

@@ -100,6 +100,14 @@ def main():
         args.ckpt = (
             f"./model_saves/pretrained_30units_{args.pipeline}_n{args.noise:g}.npz"
         )
+    if args.quick:
+        # a smoke run must not clobber the committed full-run artifacts
+        # (tests/test_sweep_viz.py pins model_saves/rank_rmse_30units.json)
+        for attr in ("out", "plot"):
+            path = ap.get_default(attr)
+            if getattr(args, attr) == path:
+                root, ext = os.path.splitext(path)
+                setattr(args, attr, f"{root}_quick{ext}")
 
     import jax
 
@@ -168,13 +176,28 @@ def main():
             hoyer=args.hoyer,
             finetune_epochs=3 if args.quick else args.finetune_epochs,
         )
+        # --quick must shrink the fine-tune workload too: the FactorConfig
+        # defaults (20000 windows of 200 steps) would run ~10x more steps
+        # than the quick pre-train itself. Reuse the quick pre-train's
+        # window scale instead.
+        ft_tcfg = (
+            dataclasses.replace(
+                tcfg, epochs=fcfg.finetune_epochs,
+                batch_size=fcfg.finetune_batch_size,
+            )
+            if args.quick
+            else None
+        )
         print(
             f"hoyer fine-tune (hoyer={fcfg.hoyer}, "
             f"{fcfg.finetune_epochs} epochs)...",
             flush=True,
         )
         smodel = make_singular_model(model, merged_kernel=False)
-        res = finetune(smodel, ds.X_train, ds.y_train, fcfg, verbose=True)
+        res = finetune(
+            smodel, ds.X_train, ds.y_train, fcfg, train_cfg=ft_tcfg,
+            verbose=True,
+        )
         model = singular_to_dense(res.params)
 
     inv = lambda v: ds.pin_scaler.inverse_transform(

@@ -44,10 +44,9 @@ def main():
     from svd_lstm_tpu.models.merge import merge_parallel_cell_weights
     from svd_lstm_tpu.io.checkpoint import save_params
 
-    def train_toy(y_type, units, seed, epochs):
-        X, y = generate_time_series(4096, 60, y_type=y_type, seed=seed)
-        params = init_stacked_lstm(jax.random.PRNGKey(seed), 1, units)
-        opt = optax.adam(2e-3)
+    def run_epochs(params, opt, X, y, tag, epochs):
+        """Shared minibatch trainer for both phases (toy pre-trains and the
+        merged continuation) — only the optimizer and data differ."""
         state = opt.init(params)
 
         @jax.jit
@@ -67,8 +66,13 @@ def main():
                     params, state, jnp.asarray(X[i : i + 128]), jnp.asarray(y[i : i + 128])
                 )
                 losses.append(float(l))
-            print(f"  [{y_type}] epoch {ep}: loss {np.mean(losses):.5f}")
+            print(f"  [{tag}] epoch {ep}: loss {np.mean(losses):.5f}")
         return params
+
+    def train_toy(y_type, units, seed, epochs):
+        X, y = generate_time_series(4096, 60, y_type=y_type, seed=seed)
+        params = init_stacked_lstm(jax.random.PRNGKey(seed), 1, units)
+        return run_epochs(params, optax.adam(2e-3), X, y, y_type, epochs)
 
     print("training toy models (frequency, amplitude)...")
     freq = train_toy("frequency", (20, 20), seed=0, epochs=args.epochs)
@@ -83,35 +87,21 @@ def main():
     )
     merged = StackedLSTMParams(layers=(l0, l1), head=head)
 
-    # continue training on a combined target, v1-style optimizer:
-    # SGD(momentum=.9, clipvalue=.5) — reference old_versions/train_full_model.py:116
+    # continue training the merged model on the frequency target with the
+    # v1-style optimizer: SGD(momentum=.9, clipvalue=.5) — reference
+    # old_versions/train_full_model.py:116
     X, yf = generate_time_series(4096, 60, y_type="frequency", seed=7)
     opt = optax.chain(optax.clip(0.5), optax.sgd(1e-2, momentum=0.9))
-    state = opt.init(merged)
-
-    @jax.jit
-    def step(p, s, xb, yb):
-        def loss(p):
-            pred = stacked_lstm_apply(p, xb, return_sequences=False)[..., 0]
-            return jnp.mean((pred - yb) ** 2)
-
-        l, g = jax.value_and_grad(loss)(p)
-        u, s = opt.update(g, s, p)
-        return optax.apply_updates(p, u), s, l
-
     print("continuing training on the merged model...")
-    params = merged
-    for ep in range(args.epochs):
-        losses = []
-        for i in range(0, 4096 - 127, 128):
-            params, state, l = step(
-                params, state, jnp.asarray(X[i : i + 128]), jnp.asarray(yf[i : i + 128])
-            )
-            losses.append(float(l))
-        print(f"  [merged] epoch {ep}: loss {np.mean(losses):.5f}")
+    params = run_epochs(merged, opt, X, yf, "merged", args.epochs)
 
-    save_params(os.path.join(args.out, "pretrained_split_merged.npz"), params)
-    print(f"saved to {args.out}/pretrained_split_merged.npz")
+    # keep the smoke artifact separate from the committed full-run one
+    name = (
+        "pretrained_split_merged_quick.npz" if args.quick
+        else "pretrained_split_merged.npz"
+    )
+    save_params(os.path.join(args.out, name), params)
+    print(f"saved to {args.out}/{name}")
 
 
 if __name__ == "__main__":

@@ -95,7 +95,9 @@ def main():
 
     sigmas = harvest_sigmas(smodel)
     for li, (sw, su) in enumerate(sigmas):
-        below = int((su < fcfg.cutoff).sum())
+        # magnitude compare, matching truncate_singular_layer's |σ| > cutoff
+        # (Hoyer updates can push entries through zero — factor/svd.py)
+        below = int((np.abs(su) < fcfg.cutoff).sum())
         print(f"layer {li}: {below}/{su.size} recurrent σ below cutoff")
 
     rmodel = st.make_reduced_model(smodel, cutoff=fcfg.cutoff)

@@ -81,12 +81,24 @@ def main():
     print(f"RMSE: {st.rmse(true_m, pred_m):.6f} m")
     print(f"NRMSE: {st.nrmse(true_m, pred_m):.6f}")
 
+    plot_name = (
+        "full_model_prediction_quick.png" if args.quick
+        else "full_model_prediction.png"
+    )
     plot_prediction_overlay(
         ds.t, true_m, {"full model prediction": pred_m},
-        savepath=os.path.join(args.plots, "full_model_prediction.png"),
+        savepath=os.path.join(args.plots, plot_name),
     )
-    save_params(os.path.join(args.out, "pretrained_sequential.npz"), res.params)
-    print(f"saved to {args.out}/pretrained_sequential.npz")
+    # --quick trains a tiny 2-layer model on synthetic data; saving it to
+    # the flagship checkpoint path would poison svd_acceleration.py /
+    # rank_sweep.py, which load that path blindly for the real-dataset
+    # workflows. Keep the smoke artifact under a distinct name.
+    ckpt_name = (
+        "pretrained_sequential_quick.npz" if args.quick
+        else "pretrained_sequential.npz"
+    )
+    save_params(os.path.join(args.out, ckpt_name), res.params)
+    print(f"saved to {args.out}/{ckpt_name}")
 
 
 if __name__ == "__main__":

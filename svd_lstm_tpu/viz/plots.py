@@ -102,7 +102,7 @@ def save_prediction_gif(
     os.makedirs(os.path.dirname(os.path.abspath(savepath)), exist_ok=True)
     frames = []
     for i, pred in enumerate(predictions):
-        label = labels[i] if labels else f"n - r = {i}"
+        label = labels[i] if labels and i < len(labels) else f"n - r = {i}"
         fig = plot_prediction_overlay(
             t, y_true, {"reduced model": pred}, annotate=label
         )
