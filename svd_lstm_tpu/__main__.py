@@ -24,6 +24,12 @@ scripts top-to-bottom; here each stage is a subcommand over the library):
     tune       — measure every valid predict() impl for a checkpoint on
                  this device, print the table, memoize the winner
                  (bench.autotune / predict_tuned's cache)
+    stream     — real-time frame-at-a-time inference over a CSV/stdin frame
+                 stream from any deployment artifact (checkpoint, CSV
+                 export dir, int8 .bin), optionally through the native C++
+                 runtime: the reference's LabVIEW consumer loop
+                 (code/old_versions/svd_classes.py:104-119) as a pipe-able
+                 command
 """
 
 import runpy
@@ -198,6 +204,171 @@ def _tune(argv):
         print(f"cached -> {cache}")
 
 
+def _stream(argv):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m svd_lstm_tpu stream",
+        description="Frame-at-a-time streaming inference from a deployment "
+        "artifact: each input line is one frame (comma/space-separated "
+        "floats), each output line one prediction, flushed per frame — "
+        "pipe-able into a downstream consumer. Runs on CPU (this is the "
+        "host/embedded deployment story; use bench/timing for the TPU "
+        "path).",
+    )
+    ap.add_argument(
+        "artifact",
+        help=".npz/Orbax checkpoint (dense, singular or reduced params), a "
+        "CSV weight-export directory, or an int8 .bin native artifact",
+    )
+    ap.add_argument(
+        "--input", default="-",
+        help="frame CSV path, or '-' for stdin (default)",
+    )
+    ap.add_argument(
+        "--output", default="-",
+        help="prediction output path, or '-' for stdout (default)",
+    )
+    ap.add_argument(
+        "--native", action="store_true",
+        help="run through the C++ runtime (io.native). Implied for .bin "
+        "artifacts and for reduced-form CSV export dirs (which only the "
+        "native runtime consumes); a checkpoint is exported to a temporary "
+        "CSV dir first",
+    )
+    ap.add_argument(
+        "--force-two-step", action="store_true",
+        help="native path: skip the load-time execution dispatch and force "
+        "the raw two-step on every reduced side (benchmarking aid)",
+    )
+    ap.add_argument(
+        "--stats", action="store_true",
+        help="print per-frame host-latency percentiles to stderr at EOF",
+    )
+    args = ap.parse_args(argv)
+
+    import time
+
+    import numpy as np
+
+    is_bin = args.artifact.endswith(".bin")
+    is_dir_export = os.path.isdir(args.artifact) and os.path.exists(
+        os.path.join(args.artifact, "dense_top")
+    )
+    reduced_csv = False
+    if is_dir_export:
+        from svd_lstm_tpu.io.csv_weights import list_layer_dirs
+
+        dirs = list_layer_dirs(args.artifact)
+        reduced_csv = bool(dirs) and not os.path.exists(
+            os.path.join(args.artifact, dirs[0], "Wi.csv")
+        )
+    use_native = args.native or is_bin or reduced_csv
+
+    tmpdir = None
+    if use_native:
+        from svd_lstm_tpu.io.native import NativeModel
+
+        if is_bin:
+            nm = NativeModel.from_int8(
+                args.artifact, force_two_step=args.force_two_step
+            )
+        elif is_dir_export:
+            nm = NativeModel.from_export_dir(
+                args.artifact, force_two_step=args.force_two_step
+            )
+        else:
+            # checkpoint -> temp CSV export -> native load
+            import tempfile
+
+            from svd_lstm_tpu.io.checkpoint import load_params
+
+            params = load_params(args.artifact)
+            tmpdir = tempfile.TemporaryDirectory(prefix="svdlstm_stream_")
+            if hasattr(params.layers[0], "wB"):
+                from svd_lstm_tpu.io.native import save_reduced_weights_as_csv
+
+                save_reduced_weights_as_csv(params, tmpdir.name)
+            elif hasattr(params.layers[0], "ws"):
+                raise SystemExit(
+                    "--native cannot run a singular (factorized) checkpoint: "
+                    "the native runtime consumes dense or two-step reduced "
+                    "exports. Truncate first (make_reduced_model) or drop "
+                    "--native for the JAX streaming path."
+                )
+            else:
+                from svd_lstm_tpu.io.csv_weights import save_model_weights_as_csv
+
+                save_model_weights_as_csv(params, tmpdir.name)
+            nm = NativeModel.from_export_dir(
+                tmpdir.name, force_two_step=args.force_two_step
+            )
+
+        def step(frame):
+            return [nm.step(frame)]
+    else:
+        import jax
+
+        # host consumer loop: pin CPU before jax initializes (same
+        # mechanism as tests/conftest.py and examples/realtime_stream.py)
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+
+        from svd_lstm_tpu.io.checkpoint import load_params
+        from svd_lstm_tpu.models.streaming import make_stream_fn
+
+        if is_dir_export:
+            from svd_lstm_tpu.io.csv_weights import load_model_from_csv
+
+            params = load_model_from_csv(args.artifact)
+        else:
+            params = load_params(args.artifact)
+        step_fn, state = make_stream_fn(params)
+        state_box = [state]
+
+        def step(frame):
+            y, state_box[0] = step_fn(
+                state_box[0], jnp.asarray(frame, jnp.float32)[None, :]
+            )
+            return np.asarray(y).ravel().tolist()
+
+    fin = sys.stdin if args.input == "-" else open(args.input)
+    fout = sys.stdout if args.output == "-" else open(args.output, "w")
+    lat_ms = []
+    n = 0
+    try:
+        for line in fin:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            frame = np.array(
+                [float(v) for v in line.replace(",", " ").split()],
+                dtype=np.float32,
+            )
+            t0 = time.perf_counter()
+            y = step(frame)
+            lat_ms.append((time.perf_counter() - t0) * 1e3)
+            fout.write(",".join(f"{v:.8g}" for v in y) + "\n")
+            fout.flush()
+            n += 1
+    finally:
+        if fin is not sys.stdin:
+            fin.close()
+        if fout is not sys.stdout:
+            fout.close()
+        if tmpdir is not None:
+            tmpdir.cleanup()
+    if args.stats and lat_ms:
+        lat = np.asarray(lat_ms[1:] or lat_ms)  # drop the compile/warmup frame
+        print(
+            f"{n} frames  engine={'native' if use_native else 'jax-cpu'}  "
+            f"per-frame host latency p50 {np.percentile(lat, 50)*1e3:.1f} us  "
+            f"p99 {np.percentile(lat, 99)*1e3:.1f} us  "
+            f"max {lat.max()*1e3:.1f} us (first frame excluded)",
+            file=sys.stderr,
+        )
+
+
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "export":
         _export(sys.argv[2:])
@@ -208,9 +379,14 @@ def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "tune":
         _tune(sys.argv[2:])
         return
+    if len(sys.argv) >= 2 and sys.argv[1] == "stream":
+        _stream(sys.argv[2:])
+        return
     if len(sys.argv) < 2 or sys.argv[1] not in _COMMANDS:
         print(__doc__)
-        print("commands:", ", ".join([*_COMMANDS, "export", "trace", "tune"]))
+        print("commands:", ", ".join(
+            [*_COMMANDS, "export", "trace", "tune", "stream"]
+        ))
         raise SystemExit(2)
     script = os.path.join(_HERE, _COMMANDS[sys.argv[1]])
     sys.argv = [script] + sys.argv[2:]

@@ -100,6 +100,24 @@ def load_layer_from_csv(
     )
 
 
+def list_layer_dirs(savpath: str) -> list:
+    """``lstm_*`` subdirectories of a weight-export directory in layer
+    order. Numeric-suffix sort: plain sorted() is lexicographic, which puts
+    lstm_10 between lstm_1 and lstm_2 and silently scrambles the layer
+    order of 11+-layer models; non-numeric suffixes sort after, by name."""
+    def _order(d):
+        suffix = d[len("lstm_"):]
+        return (0, int(suffix), d) if suffix.isdigit() else (1, 0, d)
+
+    return sorted(
+        (
+            d for d in os.listdir(savpath)
+            if d.startswith("lstm_") and os.path.isdir(os.path.join(savpath, d))
+        ),
+        key=_order,
+    )
+
+
 def load_model_from_csv(
     savpath: str,
     layer_dirs: Sequence[str] | None = None,
@@ -121,21 +139,7 @@ def load_model_from_csv(
     if transposed is None:
         transposed = not os.path.exists(os.path.join(savpath, _LAYOUT_MARKER))
     if layer_dirs is None:
-        # numeric-suffix sort: plain sorted() is lexicographic, which puts
-        # lstm_10 between lstm_1 and lstm_2 and silently scrambles the
-        # layer order of 11+-layer models; non-numeric suffixes sort after,
-        # by name
-        def _order(d):
-            suffix = d[len("lstm_"):]
-            return (0, int(suffix), d) if suffix.isdigit() else (1, 0, d)
-
-        layer_dirs = sorted(
-            (
-                d for d in os.listdir(savpath)
-                if d.startswith("lstm_") and os.path.isdir(os.path.join(savpath, d))
-            ),
-            key=_order,
-        )
+        layer_dirs = list_layer_dirs(savpath)
     layers = tuple(
         load_layer_from_csv(os.path.join(savpath, d), transposed, dtype)
         for d in layer_dirs

@@ -105,6 +105,52 @@ class NativeModel:
         self._h = handle
 
     @classmethod
+    def from_export_dir(
+        cls,
+        base_dir: str,
+        force_two_step: bool = False,
+        transposed: bool | None = None,
+    ) -> "NativeModel":
+        """Load a weight-export directory, discovering the layers and their
+        kinds from the files present: a ``lstm_<i>/`` holding ``Wi.csv`` is
+        a dense layer ('d' — save_model_weights_as_csv), one holding
+        ``wBi.csv`` is a two-step reduced layer ('r', or 'R' when
+        ``force_two_step`` — save_reduced_weights_as_csv). Layer order is
+        the numeric-suffix order of csv_weights.list_layer_dirs. This is
+        the external consumer's one-call load of either export flavor
+        (the LabVIEW role, reference code/load_preprocess.py:128).
+
+        ``transposed=None`` auto-detects like load_model_from_csv: a
+        directory written by save_model_weights_as_csv carries the layout
+        marker and loads untransposed; a bare fixture directory (the
+        shipped reference artifacts) falls back to the transposed
+        convention."""
+        from svd_lstm_tpu.io.csv_weights import _LAYOUT_MARKER, list_layer_dirs
+
+        if not os.path.isdir(base_dir):
+            raise RuntimeError(f"no such export directory: {base_dir}")
+        if transposed is None:
+            transposed = not os.path.exists(
+                os.path.join(base_dir, _LAYOUT_MARKER)
+            )
+        layer_dirs = list_layer_dirs(base_dir)
+        if not layer_dirs:
+            raise RuntimeError(f"no lstm_* layer directories under {base_dir}")
+        kinds = []
+        for d in layer_dirs:
+            p = os.path.join(base_dir, d)
+            if os.path.exists(os.path.join(p, "Wi.csv")):
+                kinds.append("d")
+            elif os.path.exists(os.path.join(p, "wBi.csv")):
+                kinds.append("R" if force_two_step else "r")
+            else:
+                raise RuntimeError(
+                    f"{p}: neither Wi.csv (dense) nor wBi.csv (reduced) "
+                    "found — not a weight-export layer directory"
+                )
+        return cls(base_dir, layer_dirs, "".join(kinds), transposed=transposed)
+
+    @classmethod
     def from_int8(cls, path: str, force_two_step: bool = False) -> "NativeModel":
         """Load the int8 binary artifact (io/int8_export.py) — ~4x smaller
         than the f32 CSV export; weights dequantize on load, streaming math
@@ -165,8 +211,14 @@ def save_reduced_weights_as_csv(params, savpath: str) -> None:
     """Per-gate two-step CSV export for the native runtime / external
     consumers: wB{i,f,c,o}.csv, wC*.csv, uB*.csv, uC*.csv, b*.csv per layer
     (split-kernel reduced models)."""
+    from svd_lstm_tpu.io.csv_weights import _LAYOUT_MARKER
+
     gates = "ifco"
     os.makedirs(savpath, exist_ok=True)
+    # same untransposed-layout marker as save_model_weights_as_csv, so
+    # from_export_dir's auto-detection treats both export flavors alike
+    with open(os.path.join(savpath, _LAYOUT_MARKER), "w") as f:
+        f.write("untransposed (in_dim x units) gate blocks; two-step B/C\n")
     for li, layer in enumerate(params.layers):
         if not layer.split:
             raise ValueError("CSV export of reduced models expects split kernels")

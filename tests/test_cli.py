@@ -47,3 +47,49 @@ def test_tune_command_prints_table_and_caches(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "winner" in out and "scan" in out
     assert os.path.exists(cache)
+
+
+def test_stream_command_jax_and_native_parity(tmp_path, capsys):
+    """CLI stream: frame CSV in -> one prediction line per frame out,
+    matching the whole-run scan; the reduced CSV export dir auto-routes to
+    the native runtime and agrees with the JAX reduced apply."""
+    import shutil
+
+    import jax.numpy as jnp
+
+    from svd_lstm_tpu.__main__ import _stream
+    from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+    from svd_lstm_tpu.models.lstm import stacked_lstm_apply
+    from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+
+    params = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=4, units=(6, 5))
+    ckpt = str(tmp_path / "dense.npz")
+    save_params(ckpt, params)
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(12, 4)).astype(np.float32)
+    fin = str(tmp_path / "frames.csv")
+    np.savetxt(fin, frames, delimiter=",")
+    fout = str(tmp_path / "pred.csv")
+
+    _stream([ckpt, "--input", fin, "--output", fout])
+    got = np.loadtxt(fout, delimiter=",")
+    want = np.asarray(
+        stacked_lstm_apply(params, jnp.asarray(frames)[None])
+    )[0, :, 0]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    if shutil.which("g++") or shutil.which("make"):
+        from svd_lstm_tpu.io.native import save_reduced_weights_as_csv
+
+        reduced = make_reduced_model(
+            make_singular_model(params, merged_kernel=False), rank=4
+        )
+        d_red = str(tmp_path / "reduced_csv")
+        save_reduced_weights_as_csv(reduced, d_red)
+        fout2 = str(tmp_path / "pred_red.csv")
+        _stream([d_red, "--input", fin, "--output", fout2])
+        got_r = np.loadtxt(fout2, delimiter=",")
+        want_r = np.asarray(
+            reduced_lstm_apply(reduced, jnp.asarray(frames)[None])
+        )[0, :, 0]
+        np.testing.assert_allclose(got_r, want_r, atol=1e-4)

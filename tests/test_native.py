@@ -284,3 +284,30 @@ def test_int8_loader_rejects_truncated_and_corrupt_artifacts(tmp_path):
     bad.write_bytes(b"NOTMAGIC" + blob[8:])
     with pytest.raises(RuntimeError):
         NativeModel.from_int8(str(bad))
+
+
+def test_from_export_dir_discovers_layers_and_kinds(tmp_path, dense, rng):
+    """One-call consumer load: from_export_dir reads the layer list and
+    per-layer kind (dense vs two-step reduced) from the files present."""
+    x = rng.normal(size=(30, 6)).astype(np.float32)
+
+    d_dense = tmp_path / "dense"
+    save_model_weights_as_csv(dense, str(d_dense))
+    nm = NativeModel.from_export_dir(str(d_dense))
+    y_jax = np.asarray(stacked_lstm_apply(dense, jnp.asarray(x)[None]))[0, :, 0]
+    np.testing.assert_allclose(nm.run(x), y_jax, atol=1e-4)
+
+    reduced = make_reduced_model(
+        make_singular_model(dense, merged_kernel=False), rank=6
+    )
+    d_red = tmp_path / "reduced"
+    save_reduced_weights_as_csv(reduced, str(d_red))
+    nm_r = NativeModel.from_export_dir(str(d_red))
+    y_red = np.asarray(reduced_lstm_apply(reduced, jnp.asarray(x)[None]))[0, :, 0]
+    np.testing.assert_allclose(nm_r.run(x), y_red, atol=1e-4)
+    # force_two_step still loads (the 'R' kind)
+    nm_f = NativeModel.from_export_dir(str(d_red), force_two_step=True)
+    np.testing.assert_allclose(nm_f.run(x), y_red, atol=1e-4)
+
+    with pytest.raises(RuntimeError):
+        NativeModel.from_export_dir(str(tmp_path / "nowhere_such"))
