@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <vector>
 
@@ -557,9 +558,22 @@ void svdlstm_reset(void* handle) {
   }
 }
 
+// Input width the loaded model expects per frame (layer 0's in_dim).
+int svdlstm_input_dim(void* handle) {
+  auto* m = static_cast<Model*>(handle);
+  if (m->layers.empty()) return 0;
+  const Layer& L = m->layers.front();
+  return L.w_reduced ? L.wBcat.rows : L.Wcat.rows;
+}
+
 // One frame in, one prediction out (state carried inside the handle).
+// A frame narrower/wider than the model's input width would read out of
+// bounds inside layer_step; refuse with a quiet NaN instead (callers fed
+// by external pipes — the LabVIEW consumer role — can't be trusted to
+// size frames correctly). Pass d < 0 to skip the check (legacy callers).
 float svdlstm_step(void* handle, const float* frame, int d) {
-  (void)d;
+  if (d >= 0 && d != svdlstm_input_dim(handle))
+    return std::numeric_limits<float>::quiet_NaN();
   auto* m = static_cast<Model*>(handle);
   const float* x = frame;
   for (auto& L : m->layers) {

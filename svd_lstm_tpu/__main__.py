@@ -251,6 +251,17 @@ def _stream(argv):
 
     import numpy as np
 
+    # Pin JAX to CPU before ANY branch may initialize a backend: the native
+    # checkpoint path below calls load_params -> jnp.asarray, which would
+    # otherwise lazily grab the default (TPU) backend just to re-export
+    # CSVs — contending with whatever process legitimately holds the chip
+    # (CLAUDE.md: one TPU client at a time). Importing jax does not
+    # initialize a backend; the config update keeps every later lazy init
+    # on CPU, matching this command's "Runs on CPU" contract.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     is_bin = args.artifact.endswith(".bin")
     is_dir_export = os.path.isdir(args.artifact) and os.path.exists(
         os.path.join(args.artifact, "dense_top")
@@ -286,6 +297,14 @@ def _stream(argv):
             params = load_params(args.artifact)
             tmpdir = tempfile.TemporaryDirectory(prefix="svdlstm_stream_")
             if hasattr(params.layers[0], "wB"):
+                if not params.layers[0].split:
+                    raise SystemExit(
+                        "--native cannot run a merged-kernel reduced "
+                        "checkpoint: the native runtime consumes split "
+                        "(per-gate) two-step exports. Re-truncate with "
+                        "merged_kernel=False or drop --native for the JAX "
+                        "streaming path."
+                    )
                 from svd_lstm_tpu.io.native import save_reduced_weights_as_csv
 
                 save_reduced_weights_as_csv(params, tmpdir.name)
@@ -304,14 +323,11 @@ def _stream(argv):
                 tmpdir.name, force_two_step=args.force_two_step
             )
 
+        in_dim = nm.input_dim
+
         def step(frame):
             return [nm.step(frame)]
     else:
-        import jax
-
-        # host consumer loop: pin CPU before jax initializes (same
-        # mechanism as tests/conftest.py and examples/realtime_stream.py)
-        jax.config.update("jax_platforms", "cpu")
         import jax.numpy as jnp
 
         from svd_lstm_tpu.io.checkpoint import load_params
@@ -323,6 +339,7 @@ def _stream(argv):
             params = load_model_from_csv(args.artifact)
         else:
             params = load_params(args.artifact)
+        in_dim = params.layers[0].input_dim
         step_fn, state = make_stream_fn(params)
         state_box = [state]
 
@@ -345,9 +362,17 @@ def _stream(argv):
                 [float(v) for v in line.replace(",", " ").split()],
                 dtype=np.float32,
             )
-            t0 = time.perf_counter()
-            y = step(frame)
-            lat_ms.append((time.perf_counter() - t0) * 1e3)
+            if frame.size != in_dim:
+                raise SystemExit(
+                    f"input line {n + 1}: frame has {frame.size} values; "
+                    f"the model expects {in_dim} per frame"
+                )
+            if args.stats:
+                t0 = time.perf_counter()
+                y = step(frame)
+                lat_ms.append((time.perf_counter() - t0) * 1e3)
+            else:  # no unbounded latency buffer on long-running pipes
+                y = step(frame)
             fout.write(",".join(f"{v:.8g}" for v in y) + "\n")
             fout.flush()
             n += 1

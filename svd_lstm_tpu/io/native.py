@@ -70,6 +70,8 @@ def _load_lib():
     ]
     lib.svdlstm_reset.argtypes = [ctypes.c_void_p]
     lib.svdlstm_free.argtypes = [ctypes.c_void_p]
+    lib.svdlstm_input_dim.restype = ctypes.c_int
+    lib.svdlstm_input_dim.argtypes = [ctypes.c_void_p]
     lib.svdlstm_layer_info.restype = ctypes.c_int
     lib.svdlstm_layer_info.argtypes = [
         ctypes.c_void_p, ctypes.c_int,
@@ -183,14 +185,30 @@ class NativeModel:
     def reset(self) -> None:
         self._lib.svdlstm_reset(self._h)
 
+    @property
+    def input_dim(self) -> int:
+        """Frame width the model expects (layer 0's in_dim)."""
+        return int(self._lib.svdlstm_input_dim(self._h))
+
     def step(self, frame: np.ndarray) -> float:
         frame = np.ascontiguousarray(frame, np.float32).reshape(-1)
+        # the C side also refuses mismatched widths (quiet NaN); raise the
+        # actionable error here before handing it a bad pointer/length
+        if frame.size != self.input_dim:
+            raise ValueError(
+                f"frame has {frame.size} values; model expects "
+                f"{self.input_dim}"
+            )
         ptr = frame.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         return float(self._lib.svdlstm_step(self._h, ptr, frame.size))
 
     def run(self, frames: np.ndarray) -> np.ndarray:
         frames = np.ascontiguousarray(frames, np.float32)
         T, d = frames.shape
+        if d != self.input_dim:
+            raise ValueError(
+                f"frames have width {d}; model expects {self.input_dim}"
+            )
         out = np.empty(T, np.float32)
         self._lib.svdlstm_run(
             self._h,

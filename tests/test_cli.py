@@ -93,3 +93,32 @@ def test_stream_command_jax_and_native_parity(tmp_path, capsys):
             reduced_lstm_apply(reduced, jnp.asarray(frames)[None])
         )[0, :, 0]
         np.testing.assert_allclose(got_r, want_r, atol=1e-4)
+
+
+def test_stream_command_rejects_bad_frames_and_merged_native(tmp_path):
+    """Stream hardening: a mis-sized frame line exits with an actionable
+    message (both engines validate width up front), and a merged-kernel
+    reduced checkpoint under --native gets guidance, not a raw traceback."""
+    import pytest
+
+    from svd_lstm_tpu.__main__ import _stream
+    from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+
+    params = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=4, units=(6, 5))
+    ckpt = str(tmp_path / "dense.npz")
+    save_params(ckpt, params)
+
+    fin = str(tmp_path / "short.csv")
+    with open(fin, "w") as f:
+        f.write("1.0,2.0\n")  # model expects 4 values per frame
+    with pytest.raises(SystemExit, match="expects 4"):
+        _stream([ckpt, "--input", fin, "--output", str(tmp_path / "o.csv")])
+
+    merged = make_reduced_model(
+        make_singular_model(params, merged_kernel=True), rank=4
+    )
+    mck = str(tmp_path / "merged_reduced.npz")
+    save_params(mck, merged)
+    with pytest.raises(SystemExit, match="merged-kernel"):
+        _stream([mck, "--native", "--input", fin,
+                 "--output", str(tmp_path / "o2.csv")])

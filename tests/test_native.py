@@ -311,3 +311,29 @@ def test_from_export_dir_discovers_layers_and_kinds(tmp_path, dense, rng):
 
     with pytest.raises(RuntimeError):
         NativeModel.from_export_dir(str(tmp_path / "nowhere_such"))
+
+
+def test_input_dim_and_frame_width_guard(tmp_path, dense, rng):
+    """A frame narrower/wider than the model's input width must be refused
+    (previously an out-of-bounds read inside layer_step): Python raises an
+    actionable ValueError; the raw C entry point returns a quiet NaN."""
+    import ctypes
+
+    save_model_weights_as_csv(dense, str(tmp_path))
+    nm = NativeModel.from_export_dir(str(tmp_path))
+    assert nm.input_dim == 6
+
+    with pytest.raises(ValueError, match="expects 6"):
+        nm.step(np.ones(1, np.float32))
+    with pytest.raises(ValueError, match="expects 6"):
+        nm.step(np.ones(7, np.float32))
+    with pytest.raises(ValueError, match="expects 6"):
+        nm.run(rng.normal(size=(5, 3)).astype(np.float32))
+
+    # raw C ABI: mismatched d -> NaN, never a read past the buffer
+    short = np.ones(2, np.float32)
+    ptr = short.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    assert np.isnan(nm._lib.svdlstm_step(nm._h, ptr, short.size))
+    # a correct frame still steps fine afterwards
+    nm.reset()
+    assert np.isfinite(nm.step(np.ones(6, np.float32)))
