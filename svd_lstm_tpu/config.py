@@ -87,7 +87,9 @@ class FactorConfig:
     hoyer: float = 0.01             # Hoyer L1/L2 coefficient on σ vectors
     # Beyond-reference alternative sparsifier: L1 on σ == the nuclear/trace
     # norm of the factorized matrix (factor/regularizers.trace_norm_penalty,
-    # arxiv 1710.09026). Composable with hoyer; 0 = off.
+    # arxiv 1710.09026). Composable with hoyer; 0 = off. NB: hoyer defaults
+    # ON (0.01, the reference driver's setting) — pass hoyer=0.0 alongside
+    # trace_norm for a pure trace-norm fine-tune.
     trace_norm: float = 0.0
     orthogonal: float = 0.0         # orthogonality penalty on U/V factors; >0 => train U/V
     train_uv: bool = False

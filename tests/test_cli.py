@@ -122,3 +122,41 @@ def test_stream_command_rejects_bad_frames_and_merged_native(tmp_path):
     with pytest.raises(SystemExit, match="merged-kernel"):
         _stream([mck, "--native", "--input", fin,
                  "--output", str(tmp_path / "o2.csv")])
+
+
+def test_stream_command_int8_bin_artifact(tmp_path):
+    """Stream auto-routes a .bin artifact to the native engine and matches
+    the dequantized-oracle prediction within int8 quantization error."""
+    import shutil
+
+    import pytest
+
+    if not (shutil.which("g++") or shutil.which("make")):
+        pytest.skip("no native toolchain")
+
+    import jax.numpy as jnp
+
+    from svd_lstm_tpu.__main__ import _stream
+    from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+    from svd_lstm_tpu.io.int8_export import dequantized_params, save_model_int8_bin
+    from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+
+    params = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=4, units=(6, 5))
+    reduced = make_reduced_model(
+        make_singular_model(params, merged_kernel=False), rank=4
+    )
+    art = str(tmp_path / "model.bin")
+    save_model_int8_bin(reduced, art)
+
+    rng = np.random.default_rng(1)
+    frames = rng.normal(size=(10, 4)).astype(np.float32)
+    fin = str(tmp_path / "frames.csv")
+    np.savetxt(fin, frames, delimiter=",")
+    fout = str(tmp_path / "pred.csv")
+    _stream([art, "--input", fin, "--output", fout])
+
+    got = np.loadtxt(fout, delimiter=",")
+    want = np.asarray(
+        reduced_lstm_apply(dequantized_params(reduced), jnp.asarray(frames)[None])
+    )[0, :, 0]
+    np.testing.assert_allclose(got, want, atol=1e-4)
