@@ -188,7 +188,11 @@ class NativeModel:
     @property
     def input_dim(self) -> int:
         """Frame width the model expects (layer 0's in_dim)."""
-        return int(self._lib.svdlstm_input_dim(self._h))
+        # cached: step() checks it per frame on the real-time path
+        d = getattr(self, "_in_dim", None)
+        if d is None:
+            d = self._in_dim = int(self._lib.svdlstm_input_dim(self._h))
+        return d
 
     def step(self, frame: np.ndarray) -> float:
         frame = np.ascontiguousarray(frame, np.float32).reshape(-1)
