@@ -89,7 +89,9 @@ class FactorConfig:
     # norm of the factorized matrix (factor/regularizers.trace_norm_penalty,
     # arxiv 1710.09026). Composable with hoyer; 0 = off. NB: hoyer defaults
     # ON (0.01, the reference driver's setting) — pass hoyer=0.0 alongside
-    # trace_norm for a pure trace-norm fine-tune.
+    # trace_norm for a pure trace-norm fine-tune. Measured guidance
+    # (BENCH_NOTES §Hoyer vs trace-norm): 3e-4 removes ~2.3× more weights
+    # than hoyer=0.01 at small RMSE cost; ≥1e-3 damages accuracy.
     trace_norm: float = 0.0
     orthogonal: float = 0.0         # orthogonality penalty on U/V factors; >0 => train U/V
     train_uv: bool = False
