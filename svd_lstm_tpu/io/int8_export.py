@@ -24,6 +24,19 @@ i8 data[rows*cols] row-major; "fvec" = u32 len, f32 data[len]):
 
 Gate order and column conventions match io/csv_weights.py so the same
 model round-trips through either artifact.
+
+Reduced models get **compensated quantization** (default on): the two-step
+second factor ``C = V1^-1 V2`` (reference code/svd_classes_v3.py:656-660)
+carries the inverse's dynamic range (measured max|C| up to ~800 vs ~0.5
+for B at the reference scale), so a per-column int8 grid on the raw C is
+coarse enough to cost real task accuracy (~26% model-vs-model noise at
+4x40/r=25 where the dense artifact costs 0.7% — BENCH_NOTES §int8
+artifact compensation). Before quantizing C, it is re-solved against the
+*already-quantized* B — ``C' = argmin ||deq(q(B)) C' - B C||_F`` (a
+data-free least-squares compensation in the spirit of sequential
+post-training quantization methods) — which absorbs B's rounding error
+into C and measurably halves the artifact's noise. No format change:
+consumers see the same qmat layout, just better values.
 """
 
 from __future__ import annotations
@@ -48,6 +61,41 @@ def _q(mat: np.ndarray):
     return q, scale
 
 
+def _dq(mat: np.ndarray) -> np.ndarray:
+    """The f32 matrix the int8 artifact encodes for ``mat``."""
+    q, scale = _q(mat)
+    return (q.astype(np.float32) * scale).astype(np.float32)
+
+
+def _compensated_gate_pairs(Bs, Cs, compensate: bool):
+    """The (B, C) pairs actually encoded for one side (w or u) of a split
+    reduced layer. With ``compensate`` (the default), C is re-solved
+    against the quantized B before its own quantization:
+    ``C' = lstsq(deq(q(B)), B @ C)`` — see the module docstring. Shared by
+    the exporter and :func:`dequantized_params` so the artifact and its
+    oracle can never disagree."""
+    out = []
+    for B, C in zip(Bs, Cs):
+        B = np.asarray(B, np.float32)
+        C = np.asarray(C, np.float32)
+        if compensate and C.size:
+            Bdq = _dq(B)
+            target = B @ C
+            C2 = np.linalg.lstsq(Bdq, target, rcond=None)[0].astype(np.float32)
+            # The re-solve can inflate C's dynamic range (pinv against a
+            # nearly-rank-deficient quantized B coarsens C2's own int8
+            # grid — measured at 4x40/r=8). Keep whichever ENCODING
+            # reconstructs the second block better, so compensation never
+            # loses: both branches are deterministic, so the exporter and
+            # the oracle make the same choice.
+            if np.linalg.norm(Bdq @ _dq(C2) - target) < np.linalg.norm(
+                Bdq @ _dq(C) - target
+            ):
+                C = C2
+        out.append((B, C))
+    return out
+
+
 def _write_qmat(f, mat: np.ndarray) -> None:
     q, scale = _q(mat)
     rows, cols = q.shape
@@ -62,9 +110,14 @@ def _write_fvec(f, v: np.ndarray) -> None:
     f.write(v.tobytes())
 
 
-def save_model_int8_bin(params, path: str) -> int:
+def save_model_int8_bin(params, path: str, compensate: bool = True) -> int:
     """Write a dense (StackedLSTMParams) or reduced (ReducedModelParams)
-    model as the int8 binary artifact. Returns the file size in bytes."""
+    model as the int8 binary artifact. Returns the file size in bytes.
+
+    ``compensate`` (default True) applies the least-squares C-factor
+    compensation described in the module docstring to reduced models;
+    pass False for the raw per-matrix quantization (A/B measurement:
+    scripts/int8_compensation_study.py)."""
     from svd_lstm_tpu.models.lstm import StackedLSTMParams
     from svd_lstm_tpu.models.reduced import ReducedModelParams
 
@@ -101,12 +154,10 @@ def save_model_int8_bin(params, path: str) -> int:
                 _write_fvec(f, np.asarray(layer.b))
             else:  # ReducedModelParams, split — validated above
                 f.write(b"r")
-                for B, C in zip(layer.wB, layer.wC):
-                    _write_qmat(f, np.asarray(B))
-                    _write_qmat(f, np.asarray(C))
-                for B, C in zip(layer.uB, layer.uC):
-                    _write_qmat(f, np.asarray(B))
-                    _write_qmat(f, np.asarray(C))
+                for side_B, side_C in ((layer.wB, layer.wC), (layer.uB, layer.uC)):
+                    for B, C in _compensated_gate_pairs(side_B, side_C, compensate):
+                        _write_qmat(f, B)
+                        _write_qmat(f, C)
                 _write_fvec(f, np.asarray(layer.b))
         _write_fvec(f, np.asarray(params.head.w).reshape(-1))
         f.write(struct.pack("<f", float(np.asarray(params.head.b).reshape(-1)[0])))
@@ -115,20 +166,17 @@ def save_model_int8_bin(params, path: str) -> int:
     return os.path.getsize(path)
 
 
-def dequantized_params(params):
+def dequantized_params(params, compensate: bool = True):
     """The f32 model the int8 artifact actually encodes (quantize +
     dequantize every matrix; biases/head exact) — the oracle the native
-    runtime must match."""
+    runtime must match. ``compensate`` must match what
+    :func:`save_model_int8_bin` was called with (both default True)."""
     from svd_lstm_tpu.models.lstm import LSTMLayerParams, StackedLSTMParams
     from svd_lstm_tpu.models.reduced import ReducedLayerParams, ReducedModelParams
 
-    def dq(mat):
-        q, scale = _q(np.asarray(mat))
-        return (q.astype(np.float32) * scale).astype(np.float32)
-
     if isinstance(params, StackedLSTMParams):
         layers = tuple(
-            LSTMLayerParams(W=dq(l.W), U=dq(l.U), b=np.asarray(l.b))
+            LSTMLayerParams(W=_dq(l.W), U=_dq(l.U), b=np.asarray(l.b))
             for l in params.layers
         )
         return StackedLSTMParams(layers=layers, head=params.head)
@@ -142,14 +190,19 @@ def dequantized_params(params):
                 "only — the int8 artifact layout (save_model_int8_bin has "
                 "the same contract)"
             )
-    layers = tuple(
-        ReducedLayerParams(
-            wB=tuple(dq(B) for B in l.wB),
-            wC=tuple(dq(C) for C in l.wC),
-            uB=tuple(dq(B) for B in l.uB),
-            uC=tuple(dq(C) for C in l.uC),
-            b=np.asarray(l.b),
+
+    def side(Bs, Cs):
+        pairs = _compensated_gate_pairs(Bs, Cs, compensate)
+        return (
+            tuple(_dq(B) for B, _ in pairs),
+            tuple(_dq(C) if C.size else C for _, C in pairs),
         )
-        for l in params.layers
-    )
-    return ReducedModelParams(layers=layers, head=params.head)
+
+    layers = []
+    for l in params.layers:
+        wB, wC = side(l.wB, l.wC)
+        uB, uC = side(l.uB, l.uC)
+        layers.append(
+            ReducedLayerParams(wB=wB, wC=wC, uB=uB, uC=uC, b=np.asarray(l.b))
+        )
+    return ReducedModelParams(layers=tuple(layers), head=params.head)

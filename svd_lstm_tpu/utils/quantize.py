@@ -90,6 +90,36 @@ def quantize_params(params: Any) -> Any:
     # the Hoyer fine-tune trains). Only the U/V factor matrices quantize.
     from svd_lstm_tpu.models.singular import SingularModelParams
 
+    # Reduced layers get the C-factor compensation the binary exporter
+    # applies (io/int8_export.py module docstring): C = V1^-1 V2 carries
+    # the inverse's dynamic range, and a raw per-column int8 grid on it
+    # costs real task accuracy (measured ~26-30% model-vs-model noise at
+    # the reference scale vs 0.7% for dense — BENCH_NOTES §int8 artifact
+    # compensation). Re-solve C against the quantized B, then quantize.
+    from svd_lstm_tpu.models.reduced import ReducedModelParams
+
+    if isinstance(params, ReducedModelParams):
+        from svd_lstm_tpu.io.int8_export import _compensated_gate_pairs
+
+        def side(Bs, Cs):
+            split = isinstance(Bs, tuple)
+            if _is_qt(Bs[0] if split else Bs):  # idempotent, like maybe_q
+                return Bs, Cs
+            pairs = _compensated_gate_pairs(
+                Bs if split else (Bs,), Cs if split else (Cs,), True
+            )
+            qB = tuple(maybe_q(jnp.asarray(B)) for B, _ in pairs)
+            qC = tuple(maybe_q(jnp.asarray(C)) for _, C in pairs)
+            return (qB, qC) if split else (qB[0], qC[0])
+
+        layers = []
+        for l in params.layers:
+            wB, wC = side(l.wB, l.wC)
+            uB, uC = side(l.uB, l.uC)
+            layers.append(l._replace(wB=wB, wC=wC, uB=uB, uC=uC))
+        head = jax.tree.map(maybe_q, params.head, is_leaf=_is_qt)
+        return params._replace(layers=tuple(layers), head=head)
+
     if isinstance(params, SingularModelParams):
         layers = tuple(
             l._replace(

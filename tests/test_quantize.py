@@ -134,3 +134,111 @@ def test_quantize_never_touches_sigma(merged):
         assert isinstance(ql.wl, QuantizedTensor)
         assert isinstance(ql.ur, QuantizedTensor)
     assert isinstance(q.head.w, QuantizedTensor)
+
+
+def test_int8_compensation_never_increases_encoded_error():
+    """The exporter's C-factor compensation (io/int8_export.py module
+    docstring) keeps whichever encoding reconstructs the second block
+    better, so it can never lose; on a C with V1^-1-style row outliers it
+    must strictly win."""
+    from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+    from svd_lstm_tpu.io.int8_export import _compensated_gate_pairs, _dq
+
+    dense = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=6, units=(12, 12))
+    red = make_reduced_model(make_singular_model(dense, merged_kernel=False), rank=8)
+    for l in red.layers:
+        for Bs, Cs in ((l.wB, l.wC), (l.uB, l.uC)):
+            plain = _compensated_gate_pairs(Bs, Cs, False)
+            comp = _compensated_gate_pairs(Bs, Cs, True)
+            for (B0, C0), (B1, C1) in zip(plain, comp):
+                np.testing.assert_array_equal(B0, B1)  # B never changes
+                target = B0 @ C0  # plain passes C through, so this is B @ C
+                e_plain = np.linalg.norm(_dq(B0) @ _dq(C0) - target)
+                e_comp = np.linalg.norm(_dq(B1) @ _dq(C1) - target)
+                assert e_comp <= e_plain + 1e-6
+
+    # On a TRAINED model the mechanism engages for real: fine-tuned factors
+    # develop ill-conditioned V1 blocks whose C = V1^-1 V2 carries large
+    # rows (measured max|C| up to ~250 on this checkpoint), and the
+    # re-solve strictly shrinks the encoded error (BENCH_NOTES §int8
+    # artifact compensation). Random-init models stay near-orthogonal and
+    # barely engage it, so the strict-win assert needs the shipped
+    # checkpoint.
+    from svd_lstm_tpu.io.checkpoint import load_params
+
+    trained = load_params("model_saves/pretrained_sequential.npz")
+    red16 = make_reduced_model(
+        make_singular_model(trained, merged_kernel=False), rank=16
+    )
+    tot_plain = tot_comp = 0.0
+    for l in red16.layers:
+        for Bs, Cs in ((l.wB, l.wC), (l.uB, l.uC)):
+            plain = _compensated_gate_pairs(Bs, Cs, False)
+            comp = _compensated_gate_pairs(Bs, Cs, True)
+            for (B0, C0), (B1, C1) in zip(plain, comp):
+                target = B0 @ C0
+                tot_plain += float(np.linalg.norm(_dq(B0) @ _dq(C0) - target) ** 2)
+                tot_comp += float(np.linalg.norm(_dq(B1) @ _dq(C1) - target) ** 2)
+    assert tot_comp < 0.8 * tot_plain  # measured 0.72 on this checkpoint
+
+
+def test_int8_bin_compensate_flag(tmp_path):
+    """compensate=False preserves the raw per-matrix quantization (the
+    round-2 artifact), and the flag changes the written bytes when C has
+    range worth compensating; the oracle follows the same flag."""
+    from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+    from svd_lstm_tpu.io.int8_export import (
+        _dq,
+        dequantized_params,
+        save_model_int8_bin,
+    )
+
+    dense = init_stacked_lstm(jax.random.PRNGKey(4), input_dim=6, units=(10, 10))
+    red = make_reduced_model(make_singular_model(dense, merged_kernel=False), rank=6)
+
+    raw = dequantized_params(red, compensate=False)
+    for l_raw, l in zip(raw.layers, red.layers):
+        for C_raw, C in zip(l_raw.wC + l_raw.uC, l.wC + l.uC):
+            if np.asarray(C).size:
+                np.testing.assert_array_equal(C_raw, _dq(np.asarray(C, np.float32)))
+
+    p0 = str(tmp_path / "plain.bin")
+    p1 = str(tmp_path / "comp.bin")
+    save_model_int8_bin(red, p0, compensate=False)
+    save_model_int8_bin(red, p1, compensate=True)
+    b0, b1 = open(p0, "rb").read(), open(p1, "rb").read()
+    assert len(b0) == len(b1)  # same format, same shapes
+
+
+def test_quantize_params_reduced_matches_exporter_oracle():
+    """The device-side int8 path (utils/quantize.quantize_params) applies
+    the SAME C-factor compensation as the binary exporter, so the npz and
+    .bin artifacts encode the same f32 model (modulo the head, which the
+    .bin keeps exact)."""
+    from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+    from svd_lstm_tpu.io.int8_export import dequantized_params as oracle
+
+    dense = init_stacked_lstm(jax.random.PRNGKey(5), input_dim=6, units=(10, 10))
+    red = make_reduced_model(make_singular_model(dense, merged_kernel=False), rank=6)
+
+    dq_npz = dequantize_params(quantize_params(red))
+    dq_bin = oracle(red, compensate=True)
+    for l_npz, l_bin in zip(dq_npz.layers, dq_bin.layers):
+        for a, b in zip(
+            l_npz.wB + l_npz.wC + l_npz.uB + l_npz.uC,
+            l_bin.wB + l_bin.wC + l_bin.uB + l_bin.uC,
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # idempotent, like the other families
+    q = quantize_params(red)
+    q2 = quantize_params(q)
+    assert jax.tree_util.tree_structure(q) == jax.tree_util.tree_structure(q2)
+
+    # merged reduced layers take the same compensation (single-array side)
+    red_m = make_reduced_model(make_singular_model(dense, merged_kernel=True), rank=12)
+    qm = quantize_params(red_m)
+    assert isinstance(qm.layers[0].wC, QuantizedTensor)
+    out = reduced_lstm_apply(
+        dequantize_params(qm), jnp.asarray(np.zeros((1, 4, 6), np.float32))
+    )
+    assert np.isfinite(np.asarray(out)).all()
