@@ -74,6 +74,8 @@ from svd_lstm_tpu.utils.precision import cast_params
 from svd_lstm_tpu.utils.quantize import (
     QuantizedTensor,
     dequantize_params,
+    fake_quantize_params,
+    qat_apply,
     quantize_params,
     quantized_apply,
 )

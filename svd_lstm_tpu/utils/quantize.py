@@ -152,6 +152,132 @@ def quantized_apply(apply_fn):
     return wrapped
 
 
+# --------------------------------------------------------------------------
+# Quantization-aware fine-tuning (QAT): train THROUGH the int8 grid.
+#
+# fake_quantize_params builds a straight-through-estimator view of the
+# artifact: forward values are exactly the f32 model the int8 encoding
+# represents (same leaves quantize_params targets, same C-factor
+# compensation the exporter applies), gradients pass through to the f32
+# master weights unchanged. Fine-tuning against this view adapts the
+# weights to their own quantization grid before export — the remaining
+# artifact error the post-training compensation can't remove (BENCH_NOTES
+# §int8 artifact compensation: reduced models keep ~11-15% model-vs-model
+# noise after compensation) becomes a training signal instead.
+# --------------------------------------------------------------------------
+
+
+def _ste(w: jax.Array, encoded: jax.Array) -> jax.Array:
+    """value = encoded, d/dw = identity (straight-through estimator)."""
+    return w + jax.lax.stop_gradient(encoded - w)
+
+
+def fake_quant_tensor(w: jax.Array, axis: int = 0) -> jax.Array:
+    """STE view of one matrix: forward = dequantize(quantize(w))."""
+    w = jnp.asarray(w, jnp.float32)
+    if w.size == 0:
+        return w
+    return _ste(w, dequantize_tensor(quantize_tensor(w, axis)))
+
+
+def _fake_quant_compensated_side(Bs, Cs):
+    """STE view of one reduced side (w or u) under the exporter's
+    compensated encoding (io/int8_export._compensated_gate_pairs, in jnp
+    so it traces inside jit): B encodes plainly; C re-solves against the
+    encoded B, then whichever of {raw C, re-solved C} reconstructs the
+    second block better is the value trained against. Everything feeding
+    the encoded values sits under stop_gradient, so gradients are the
+    plain STE identity for both B and C."""
+    split = isinstance(Bs, tuple)
+    pairs = zip(Bs if split else (Bs,), Cs if split else (Cs,))
+    outB, outC = [], []
+    for B, C in pairs:
+        B = jnp.asarray(B, jnp.float32)
+        C = jnp.asarray(C, jnp.float32)
+        Benc = dequantize_tensor(quantize_tensor(B, axis=0))
+        outB.append(_ste(B, Benc))
+        if C.size == 0:
+            outC.append(C)
+            continue
+        target = B @ C
+        C2 = jnp.linalg.lstsq(Benc, target)[0]
+        Cenc = dequantize_tensor(quantize_tensor(C, axis=0))
+        C2enc = dequantize_tensor(quantize_tensor(C2, axis=0))
+        use_comp = jnp.linalg.norm(Benc @ C2enc - target) < jnp.linalg.norm(
+            Benc @ Cenc - target
+        )
+        outC.append(_ste(C, jnp.where(use_comp, C2enc, Cenc)))
+    if split:
+        return tuple(outB), tuple(outC)
+    return outB[0], outC[0]
+
+
+def fake_quantize_params(params: Any) -> Any:
+    """The STE (QAT) view of ``params``: same pytree structure and dtypes,
+    forward values equal to what the int8 encoding represents (same leaf
+    policy and reduced-model C compensation as :func:`quantize_params`),
+    gradients passing straight through to ``params``.
+
+    Head policy: follows :func:`quantize_params` (2-D heads quantize).
+    The native .bin artifact additionally keeps the head exact
+    (io/int8_export.py format), so its error is ≤ the view trained
+    against — QAT is conservative for the .bin consumer.
+
+    Use inside a training loss via :func:`qat_apply`; export the trained
+    f32 params with the normal exporters afterwards."""
+
+    def maybe_fq(x):
+        if _is_qt(x):
+            raise ValueError(
+                "fake_quantize_params expects f32 master weights, not an "
+                "already-quantized pytree"
+            )
+        if hasattr(x, "ndim") and x.ndim >= 2 and jnp.issubdtype(
+            jnp.asarray(x).dtype, jnp.floating
+        ):
+            return fake_quant_tensor(x, axis=x.ndim - 2)
+        return x
+
+    from svd_lstm_tpu.models.reduced import ReducedModelParams
+    from svd_lstm_tpu.models.singular import SingularModelParams
+
+    if isinstance(params, ReducedModelParams):
+        layers = []
+        for l in params.layers:
+            wB, wC = _fake_quant_compensated_side(l.wB, l.wC)
+            uB, uC = _fake_quant_compensated_side(l.uB, l.uC)
+            layers.append(l._replace(wB=wB, wC=wC, uB=uB, uC=uC))
+        head = jax.tree.map(maybe_fq, params.head, is_leaf=_is_qt)
+        return params._replace(layers=tuple(layers), head=head)
+
+    if isinstance(params, SingularModelParams):
+        layers = tuple(
+            l._replace(
+                wl=maybe_fq(l.wl), wr=maybe_fq(l.wr),
+                ul=maybe_fq(l.ul), ur=maybe_fq(l.ur),
+            )
+            for l in params.layers
+        )
+        head = jax.tree.map(maybe_fq, params.head, is_leaf=_is_qt)
+        return params._replace(layers=layers, head=head)
+
+    return jax.tree.map(maybe_fq, params, is_leaf=_is_qt)
+
+
+def qat_apply(apply_fn):
+    """Wrap a forward so training runs through the int8 grid:
+    ``fit(params, ..., apply_fn=qat_apply(reduced_lstm_apply))`` fine-tunes
+    f32 master weights against the quantized view (QAT). The returned
+    params stay f32 — export them normally; the artifact then matches what
+    training optimized."""
+
+    def wrapped(params, *args, **kwargs):
+        return apply_fn(fake_quantize_params(params), *args, **kwargs)
+
+    wrapped.__name__ = f"qat_{getattr(apply_fn, '__name__', 'apply')}"
+    return wrapped
+
+
 def param_bytes(params: Any) -> int:
     """Device-memory footprint of a (possibly quantized) parameter pytree."""
     total = 0

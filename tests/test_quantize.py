@@ -242,3 +242,71 @@ def test_quantize_params_reduced_matches_exporter_oracle():
         dequantize_params(qm), jnp.asarray(np.zeros((1, 4, 6), np.float32))
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fake_quantize_matches_artifact_and_ste_grads(rng):
+    """QAT view (utils/quantize.fake_quantize_params): forward values equal
+    the artifact's layer encoding (compensation included), gradients are
+    the straight-through identity — i.e. exactly the gradients of the
+    forward evaluated AT the encoded point."""
+    from svd_lstm_tpu.io.int8_export import dequantized_params as oracle
+    from svd_lstm_tpu.utils.quantize import fake_quantize_params, qat_apply
+
+    dense = init_stacked_lstm(jax.random.PRNGKey(5), input_dim=6, units=(10, 10))
+    red = st.make_reduced_model(st.make_singular_model(dense, merged_kernel=False), rank=6)
+
+    fq = jax.jit(fake_quantize_params)(red)
+    enc = oracle(red, compensate=True)
+    for lf, lo in zip(fq.layers, enc.layers):
+        for a, b in zip(jax.tree.leaves(lf), jax.tree.leaves(lo)):
+            # f32 jnp lstsq vs f64 np lstsq: same grid, scale-level noise
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 6)), jnp.float32)
+    loss = lambda p: jnp.sum(qat_apply(reduced_lstm_apply)(p, x) ** 2)  # noqa: E731
+    g_qat = jax.grad(loss)(red)
+    g_enc = jax.grad(lambda p: jnp.sum(reduced_lstm_apply(p, x) ** 2))(fq)
+    for a, b in zip(jax.tree.leaves(g_qat), jax.tree.leaves(g_enc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+    # sigma stays exact under the singular-family view, like quantize_params
+    sm = st.make_singular_model(dense, merged_kernel=False)
+    fqs = jax.jit(fake_quantize_params)(sm)
+    np.testing.assert_array_equal(np.asarray(fqs.layers[0].ws), np.asarray(sm.layers[0].ws))
+    assert not np.array_equal(np.asarray(fqs.layers[0].wl), np.asarray(sm.layers[0].wl))
+
+    # refuses already-quantized trees instead of nesting
+    with pytest.raises(ValueError, match="master"):
+        fake_quantize_params(quantize_params(dense))
+
+
+def test_qat_fit_reduces_artifact_error(rng):
+    """A few QAT steps must reduce the ARTIFACT's loss (the quantized
+    view's objective) on the training batch — the property the whole
+    feature exists for."""
+    import optax
+
+    from svd_lstm_tpu.utils.quantize import qat_apply
+
+    dense = init_stacked_lstm(jax.random.PRNGKey(6), input_dim=4, units=(8,))
+    red = st.make_reduced_model(st.make_singular_model(dense, merged_kernel=False), rank=5)
+    x = jnp.asarray(rng.normal(size=(8, 12, 4)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+
+    qat_fn = qat_apply(reduced_lstm_apply)
+    loss = lambda p: jnp.mean(  # noqa: E731
+        (qat_fn(p, x, return_sequences=False)[..., 0] - y) ** 2
+    )
+    opt = optax.adam(1e-2)
+    s = opt.init(red)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    p, s, l0 = step(red, s)
+    for _ in range(30):
+        p, s, l = step(p, s)
+    assert float(l) < float(l0)
