@@ -44,6 +44,20 @@ def main():
         "(ops/singular_train.py; 0.448 vs 4.726 ms/step at the flagship "
         "scale — BENCH_NOTES §train)",
     )
+    ap.add_argument(
+        "--qat-epochs", type=int, default=0,
+        help="after truncation, fine-tune the reduced model THROUGH the "
+        "int8 grid for N epochs (utils/quantize.qat_apply) so the exported "
+        "int8 artifact matches what training optimized — measured 3.2x "
+        "artifact-noise reduction at r=25 (BENCH_NOTES §QAT)",
+    )
+    ap.add_argument(
+        "--export", default=None, metavar="DIR",
+        help="write deployment artifacts for the truncated model: per-gate "
+        "two-step CSVs (io/native.py) and, for split kernels, the int8 "
+        "binary (io/int8_export.py) — the reference's LabVIEW surface "
+        "(code/load_preprocess.py:93-126) at the end of the same workflow",
+    )
     args = ap.parse_args()
 
     import jax
@@ -102,6 +116,22 @@ def main():
 
     rmodel = st.make_reduced_model(smodel, cutoff=fcfg.cutoff)
 
+    if args.qat_epochs:
+        import dataclasses
+
+        from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+        from svd_lstm_tpu.utils.quantize import qat_apply
+
+        print("QAT fine-tune of the reduced model (int8 STE view)...")
+        # the kernel engine has no QAT view; the STE wrapper runs the scan
+        qcfg = dataclasses.replace(
+            ft_cfg, epochs=args.qat_epochs, recurrence_kernel=False
+        )
+        rmodel = fit(
+            rmodel, ds.X_train, ds.y_train, qcfg,
+            apply_fn=qat_apply(reduced_lstm_apply), verbose=True,
+        ).params
+
     # --- timing (device time; protocol parity with perf_counter-around-
     # predict in the reference, minus the dispatch noise)
     full_fn = jax.jit(lambda p, x: stacked_lstm_apply(p, x, return_sequences=True))
@@ -146,6 +176,21 @@ def main():
         savepath=os.path.join(args.plots, "svd_acceleration_prediction.png"),
     )
     print(f"figure written to {args.plots}/svd_acceleration_prediction.png")
+
+    if args.export:
+        from svd_lstm_tpu.io.native import save_reduced_weights_as_csv
+
+        os.makedirs(args.export, exist_ok=True)
+        save_reduced_weights_as_csv(rmodel, args.export)
+        print(f"two-step CSV export -> {args.export}/")
+        if not fcfg.merged_kernel:
+            from svd_lstm_tpu.io.int8_export import save_model_int8_bin
+
+            bin_path = os.path.join(args.export, "model_int8.bin")
+            nbytes = save_model_int8_bin(rmodel, bin_path)
+            print(f"int8 native artifact -> {bin_path} ({nbytes} bytes)")
+        else:
+            print("int8 binary skipped: the artifact format is split-only")
 
 
 if __name__ == "__main__":
