@@ -129,15 +129,19 @@ struct Layer {
   // loses). Measured crossover: r/n = 0.4 wins (0.92x), 0.5 loses
   // (1.18x) — see BENCH_NOTES §native.
   bool w_reduced = false, u_reduced = false;
+  // group count per side: 4 = split (per-gate factors), 1 = merged (one
+  // SVD of the whole (rows x 4n) matrix — its two-step spans all four
+  // gates' pre-activations at once, reference svd_classes_v3.py:249-279)
+  int w_groups = 4, u_groups = 4;
   // dense: all four gates concatenated column-wise — ONE GEMV per side
   // with a 4n-wide inner loop instead of four n-wide ones (vectorizes and
   // amortizes the row loop; same packed-gate idea as the TPU kernels).
   FlatMat Wcat, Ucat;            // (in_dim x 4n), (n x 4n)
-  // reduced: packed-B (all gates' B side by side) + per-gate C
+  // reduced: packed-B (all groups' B side by side) + per-group C
   FlatMat wBcat, uBcat;          // (in_dim x sum r_g), (n x sum r_g)
-  FlatMat wC[4], uC[4];          // (r_g x n-r_g), or transposed (dot form)
+  FlatMat wC[4], uC[4];          // (r_g x gw-r_g), or transposed (dot form)
   bool wCdot[4] = {}, uCdot[4] = {};  // true -> C stored transposed
-  int wOff[4] = {0, 0, 0, 0}, uOff[4] = {0, 0, 0, 0};  // col offset of gate g in *Bcat
+  int wOff[4] = {0, 0, 0, 0}, uOff[4] = {0, 0, 0, 0};  // col offset of group g in *Bcat
   std::vector<float> bcat;       // (4n)
   int units = 0;
   std::vector<float> h, c;       // state
@@ -172,11 +176,13 @@ struct Model {
 // on this runtime (BENCH_NOTES §native, 4x40/4x30): r/n = 0.4 steps at
 // 0.92x dense, r/n = 0.5 at 1.18x, r/n = 0.625 at 1.41x — the FLOP
 // saving is eaten by irregular small GEMVs well before r = n. Keep the
-// factored path only below r/n ~ 0.45.
-bool two_step_pays(const FlatMat B[4], int n) {
+// factored path only below r/n ~ 0.45. groups: 4 split / 1 merged — the
+// same total-rank-vs-total-width rule covers both (a merged B's columns
+// span all four gates).
+bool two_step_pays(const FlatMat* B, int groups, int n) {
   int sum_r = 0;
-  for (int g = 0; g < 4; ++g) sum_r += B[g].cols;
-  return sum_r * 20 < 9 * 4 * n;  // mean(r_g)/n < 0.45
+  for (int g = 0; g < groups; ++g) sum_r += B[g].cols;
+  return sum_r * 20 < 9 * 4 * n;  // sum(r_g)/(4n) < 0.45
 }
 
 // Dense gate matrix from the two-step factors: D = [B | B·C] (rows x n),
@@ -217,30 +223,34 @@ FlatMat densify_gate(const FlatMat& B, const FlatMat& C, bool Cdot, int n) {
 // two-step pays (or is forced), reconstruct to a dense cat where it
 // can't — so a consumer loading a shallow-rank export never steps slower
 // than dense (the TPU layout rule, ops/layouts.py, mirrored).
-void finalize_reduced_sides(Layer* L, FlatMat wB[4], FlatMat uB[4],
-                            bool force_two_step) {
+// groups: 4 = split (per-gate width n), 1 = merged (one group, width 4n).
+void finalize_reduced_sides(Layer* L, FlatMat* wB, FlatMat* uB,
+                            bool force_two_step, int groups) {
+  // units from the recurrent side's row count (uB rows = n in both forms)
   const int n = uB[0].rows;
+  const int gw = (groups == 1) ? 4 * n : n;  // per-group output width
   L->units = n;
-  L->w_reduced = force_two_step || two_step_pays(wB, n);
-  L->u_reduced = force_two_step || two_step_pays(uB, n);
+  L->w_groups = L->u_groups = groups;
+  L->w_reduced = force_two_step || two_step_pays(wB, groups, n);
+  L->u_reduced = force_two_step || two_step_pays(uB, groups, n);
   int offs[4];
   if (L->w_reduced) {
-    L->wBcat = cat_cols(wB, 4, L->wOff);
+    L->wBcat = cat_cols(wB, groups, L->wOff);
   } else {
     FlatMat Dg[4];
-    for (int g = 0; g < 4; ++g)
-      Dg[g] = densify_gate(wB[g], L->wC[g], L->wCdot[g], n);
-    L->Wcat = cat_cols(Dg, 4, offs);
-    for (int g = 0; g < 4; ++g) L->wC[g] = FlatMat();
+    for (int g = 0; g < groups; ++g)
+      Dg[g] = densify_gate(wB[g], L->wC[g], L->wCdot[g], gw);
+    L->Wcat = cat_cols(Dg, groups, offs);
+    for (int g = 0; g < groups; ++g) L->wC[g] = FlatMat();
   }
   if (L->u_reduced) {
-    L->uBcat = cat_cols(uB, 4, L->uOff);
+    L->uBcat = cat_cols(uB, groups, L->uOff);
   } else {
     FlatMat Dg[4];
-    for (int g = 0; g < 4; ++g)
-      Dg[g] = densify_gate(uB[g], L->uC[g], L->uCdot[g], n);
-    L->Ucat = cat_cols(Dg, 4, offs);
-    for (int g = 0; g < 4; ++g) L->uC[g] = FlatMat();
+    for (int g = 0; g < groups; ++g)
+      Dg[g] = densify_gate(uB[g], L->uC[g], L->uCdot[g], gw);
+    L->Ucat = cat_cols(Dg, groups, offs);
+    for (int g = 0; g < groups; ++g) L->uC[g] = FlatMat();
   }
 }
 
@@ -313,23 +323,58 @@ bool load_reduced_layer(const std::string& dir, Layer* L, bool force_two_step) {
       for (float v : row) bs.push_back(v);
   }
   L->bcat = std::move(bs);
-  finalize_reduced_sides(L, wB, uB, force_two_step);
+  finalize_reduced_sides(L, wB, uB, force_two_step, 4);
   return true;
 }
 
-// packed two-step side: tmp = v·Bcat (ONE wide GEMV for all gates), then
-// per gate g: z_g[0..r) += tmp_g, z_g[r..n) += tmp_g·C_g. The step loop
-// allocates nothing.
+// merged-kernel reduced layer: one SVD of the whole (rows x 4n) matrix per
+// side (reference svd_classes_v3.py:249-279) — files wB/wC/uB/uC/b.csv
+// (no gate suffix; io/native.py save_reduced_weights_as_csv merged form).
+bool load_merged_layer(const std::string& dir, Layer* L, bool force_two_step) {
+  FlatMat wB[1], uB[1];
+  Mat m;
+  if (!load_csv(dir + "/wB.csv", &m)) return false;
+  wB[0].from(m);
+  m.clear();
+  if (!load_csv(dir + "/uB.csv", &m)) return false;
+  uB[0].from(m);
+  FlatMat Ctmp;
+  m.clear();
+  if (load_csv(dir + "/wC.csv", &m)) {  // absent at full rank
+    Ctmp.from(m);
+    L->wCdot[0] = Ctmp.rows > Ctmp.cols;
+    L->wC[0] = L->wCdot[0] ? transpose(Ctmp) : Ctmp;
+  } else L->wC[0] = FlatMat();
+  m.clear();
+  if (load_csv(dir + "/uC.csv", &m)) {
+    Ctmp.from(m);
+    L->uCdot[0] = Ctmp.rows > Ctmp.cols;
+    L->uC[0] = L->uCdot[0] ? transpose(Ctmp) : Ctmp;
+  } else L->uC[0] = FlatMat();
+  Mat b;
+  if (!load_csv(dir + "/b.csv", &b)) return false;
+  std::vector<float> bs;
+  for (auto& row : b)
+    for (float v : row) bs.push_back(v);
+  L->bcat = std::move(bs);
+  finalize_reduced_sides(L, wB, uB, force_two_step, 1);
+  return true;
+}
+
+// packed two-step side: tmp = v·Bcat (ONE wide GEMV for all groups), then
+// per group g: z_g[0..r) += tmp_g, z_g[r..gw) += tmp_g·C_g. groups = 4
+// split (group width n) or 1 merged (one group spanning all 4n gate
+// columns). The step loop allocates nothing.
 void two_step_side(Layer& L, const float* v, const FlatMat& Bcat,
                    const int* off, const FlatMat* C, const bool* Cdot,
-                   float* __restrict zg) {
-  const int n = L.units;
+                   float* __restrict zg, int groups) {
+  const int gw = (groups == 1) ? 4 * L.units : L.units;
   float* tmp = L.zs.data();
   for (int j = 0; j < Bcat.cols; ++j) tmp[j] = 0.0f;
   accum_xTM(v, Bcat, tmp);
-  for (int g = 0; g < 4; ++g) {
-    const int r = (g + 1 < 4 ? off[g + 1] : Bcat.cols) - off[g];
-    float* z = zg + g * n;
+  for (int g = 0; g < groups; ++g) {
+    const int r = (g + 1 < groups ? off[g + 1] : Bcat.cols) - off[g];
+    float* z = zg + g * gw;
     const float* tg = tmp + off[g];
     for (int j = 0; j < r; ++j) z[j] += tg[j];
     if (C[g].empty()) continue;
@@ -342,9 +387,11 @@ void layer_step(Layer& L, const float* x) {
   const int n = L.units;
   float* zg = L.zg.data();
   std::memcpy(zg, L.bcat.data(), sizeof(float) * 4 * n);
-  if (L.w_reduced) two_step_side(L, x, L.wBcat, L.wOff, L.wC, L.wCdot, zg);
+  if (L.w_reduced)
+    two_step_side(L, x, L.wBcat, L.wOff, L.wC, L.wCdot, zg, L.w_groups);
   else accum_xTM(x, L.Wcat, zg);
-  if (L.u_reduced) two_step_side(L, L.h.data(), L.uBcat, L.uOff, L.uC, L.uCdot, zg);
+  if (L.u_reduced)
+    two_step_side(L, L.h.data(), L.uBcat, L.uOff, L.uC, L.uCdot, zg, L.u_groups);
   else accum_xTM(L.h.data(), L.Ucat, zg);
   for (int j = 0; j < n; ++j) {
     const float i = sigmoidf(zg[0 * n + j]);
@@ -408,8 +455,11 @@ bool load_int8_model(const std::string& path, Model* m,
   if (!f) return false;
   char magic[8];
   uint32_t version = 0, n_layers = 0;
+  // version 1: kinds 'd'/'r'. version 2 adds 'm' (merged-kernel reduced);
+  // both remain readable.
   bool ok = read_exact(f, magic, 8) && std::memcmp(magic, "SVDL8BIN", 8) == 0 &&
-            read_u32(f, &version) && version == 1 && read_u32(f, &n_layers);
+            read_u32(f, &version) && (version == 1 || version == 2) &&
+            read_u32(f, &n_layers);
   for (uint32_t li = 0; ok && li < n_layers; ++li) {
     uint8_t kind = 0;
     ok = read_exact(f, &kind, 1);
@@ -432,7 +482,15 @@ bool load_int8_model(const std::string& path, Model* m,
         if (ok) place_C(std::move(C), &L.uC[g], &L.uCdot[g]);
       }
       ok = ok && read_fvec(f, &L.bcat);
-      if (ok) finalize_reduced_sides(&L, wB, uB, force_two_step);
+      if (ok) finalize_reduced_sides(&L, wB, uB, force_two_step, 4);
+    } else if (kind == 'm' && version >= 2) {
+      FlatMat wB[1], uB[1], C;
+      ok = read_qmat(f, &wB[0]) && read_qmat(f, &C);
+      if (ok) place_C(std::move(C), &L.wC[0], &L.wCdot[0]);
+      ok = ok && read_qmat(f, &uB[0]) && read_qmat(f, &C);
+      if (ok) place_C(std::move(C), &L.uC[0], &L.uCdot[0]);
+      ok = ok && read_fvec(f, &L.bcat);
+      if (ok) finalize_reduced_sides(&L, wB, uB, force_two_step, 1);
     } else {
       ok = false;
     }
@@ -463,9 +521,11 @@ extern "C" {
 
 // dirs: colon-separated layer directories, then dense_top dir.
 // kind per layer (string, one char per layer): 'd' dense; 'r' reduced
-// with load-time execution dispatch (sides whose ranks can't pay for the
-// exact two-step are reconstructed to dense — never slower than dense);
-// 'R' reduced, two-step FORCED on both sides (benchmarking/debugging).
+// (split, per-gate factors) with load-time execution dispatch (sides
+// whose ranks can't pay for the exact two-step are reconstructed to
+// dense — never slower than dense); 'R' reduced, two-step FORCED on both
+// sides (benchmarking/debugging); 'm'/'M' the merged-kernel reduced
+// equivalents (one SVD per side spanning all four gates).
 void* svdlstm_load(const char* base, const char* layer_dirs,
                    const char* kinds, int transposed) {
   auto* m = new Model();
@@ -488,9 +548,11 @@ void* svdlstm_load(const char* base, const char* layer_dirs,
     std::string d = basedir + "/" + dirlist[li];
     Layer L;
     const char k = kindstr[li];
-    bool ok = (k == 'r' || k == 'R')
-                  ? load_reduced_layer(d, &L, k == 'R')
-                  : load_dense_layer(d, &L, transposed != 0);
+    bool ok;
+    if (k == 'r' || k == 'R') ok = load_reduced_layer(d, &L, k == 'R');
+    else if (k == 'm' || k == 'M') ok = load_merged_layer(d, &L, k == 'M');
+    else if (k == 'd') ok = load_dense_layer(d, &L, transposed != 0);
+    else ok = false;
     if (!ok) {
       delete m;
       return nullptr;

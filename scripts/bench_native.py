@@ -87,6 +87,25 @@ def main():
               f"(ratio {t_raw / t_dense:.3f}) | dispatched {t_red:6.2f} "
               f"(ratio {t_red / t_dense:.3f})  [reference python: 1.31-1.39]")
 
+    # Merged-kernel reduced (one SVD of the whole (rows x 4n) matrix per
+    # side — native kind 'm'/'M', round 3). The merged two-step is two
+    # REGULAR GEMVs (no per-gate fragmentation), so its dispatch crossover
+    # can sit higher than the split rule assumes; measure both paths.
+    smodel_m = make_singular_model(dense, merged_kernel=True)
+    for r in (64, 40, 20):  # merged ranks span 4n=160 columns
+        rmodel = make_reduced_model(smodel_m, rank=r)
+        with tempfile.TemporaryDirectory() as td:
+            save_reduced_weights_as_csv(rmodel, td)
+            t_raw = best_us_per_step(
+                NativeModel(td, layer_dirs, "M" * len(UNITS)), frames
+            )
+            t_red = best_us_per_step(
+                NativeModel(td, layer_dirs, "m" * len(UNITS)), frames
+            )
+        print(f"native merged r={r:3d}:    raw {t_raw:6.2f} "
+              f"(ratio {t_raw / t_dense:.3f}) | dispatched {t_red:6.2f} "
+              f"(ratio {t_red / t_dense:.3f})")
+
     # The PUBLISHED timing configuration (slide 15 / plots/timing_plot.png):
     # 4x30 model, cells 2-3 reduced, k=15 -> r=15. The reference's Python
     # consumer ran this 1.31-1.39x SLOWER than dense at every k.

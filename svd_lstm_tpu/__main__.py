@@ -297,14 +297,8 @@ def _stream(argv):
             params = load_params(args.artifact)
             tmpdir = tempfile.TemporaryDirectory(prefix="svdlstm_stream_")
             if hasattr(params.layers[0], "wB"):
-                if not params.layers[0].split:
-                    raise SystemExit(
-                        "--native cannot run a merged-kernel reduced "
-                        "checkpoint: the native runtime consumes split "
-                        "(per-gate) two-step exports. Re-truncate with "
-                        "merged_kernel=False or drop --native for the JAX "
-                        "streaming path."
-                    )
+                # split AND merged reduced checkpoints both export (the
+                # native runtime's 'r' and 'm' layer kinds, round 3)
                 from svd_lstm_tpu.io.native import save_reduced_weights_as_csv
 
                 save_reduced_weights_as_csv(params, tmpdir.name)

@@ -12,14 +12,16 @@ Format (all little-endian; "qmat" = u32 rows, u32 cols, f32 scale[cols],
 i8 data[rows*cols] row-major; "fvec" = u32 len, f32 data[len]):
 
     magic  "SVDL8BIN"            (8 bytes)
-    u32    version (= 1)
+    u32    version (= 2; version-1 files have no 'm' kind and stay readable)
     u32    n_layers
     per layer:
-      u8   kind: 'd' dense | 'r' reduced
+      u8   kind: 'd' dense | 'r' reduced (split) | 'm' reduced (merged)
       dense:   qmat W (in x 4n), qmat U (n x 4n), fvec b (4n)
-      reduced: per gate g in [i,f,c,o]: qmat wB_g, qmat wC_g (cols may be
-               0 at full rank); then per gate: qmat uB_g, qmat uC_g;
+      reduced 'r': per gate g in [i,f,c,o]: qmat wB_g, qmat wC_g (cols may
+               be 0 at full rank); then per gate: qmat uB_g, qmat uC_g;
                then fvec b (4n)
+      reduced 'm': qmat wB (in x r), qmat wC (r x 4n-r), qmat uB, qmat uC,
+               fvec b (4n) — one SVD per side spanning all four gates
     head: fvec w (n), f32 bias
 
 Gate order and column conventions match io/csv_weights.py so the same
@@ -46,7 +48,7 @@ import struct
 import numpy as np
 
 MAGIC = b"SVDL8BIN"
-VERSION = 1
+VERSION = 2
 
 
 def _q(mat: np.ndarray):
@@ -135,14 +137,6 @@ def save_model_int8_bin(params, path: str, compensate: bool = True) -> int:
     # consumer to choke on.
     if not isinstance(params, (StackedLSTMParams, ReducedModelParams)):
         raise TypeError(f"unsupported model params: {type(params)}")
-    if isinstance(params, ReducedModelParams):
-        for layer in params.layers:
-            if not layer.split:
-                raise ValueError(
-                    "int8 binary export supports split (per-gate) reduced "
-                    "layers — the native runtime's layout (io/native.py "
-                    "save_reduced_weights_as_csv has the same contract)"
-                )
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<II", VERSION, len(params.layers)))
@@ -152,12 +146,19 @@ def save_model_int8_bin(params, path: str, compensate: bool = True) -> int:
                 _write_qmat(f, np.asarray(layer.W))
                 _write_qmat(f, np.asarray(layer.U))
                 _write_fvec(f, np.asarray(layer.b))
-            else:  # ReducedModelParams, split — validated above
+            elif layer.split:  # ReducedModelParams, per-gate factors
                 f.write(b"r")
                 for side_B, side_C in ((layer.wB, layer.wC), (layer.uB, layer.uC)):
                     for B, C in _compensated_gate_pairs(side_B, side_C, compensate):
                         _write_qmat(f, B)
                         _write_qmat(f, C)
+                _write_fvec(f, np.asarray(layer.b))
+            else:  # ReducedModelParams, merged — one factor pair per side
+                f.write(b"m")
+                for side_B, side_C in ((layer.wB, layer.wC), (layer.uB, layer.uC)):
+                    ((B, C),) = _compensated_gate_pairs((side_B,), (side_C,), compensate)
+                    _write_qmat(f, B)
+                    _write_qmat(f, C)
                 _write_fvec(f, np.asarray(layer.b))
         _write_fvec(f, np.asarray(params.head.w).reshape(-1))
         f.write(struct.pack("<f", float(np.asarray(params.head.b).reshape(-1)[0])))
@@ -180,23 +181,14 @@ def dequantized_params(params, compensate: bool = True):
             for l in params.layers
         )
         return StackedLSTMParams(layers=layers, head=params.head)
-    # mirror the exporter's contract: merged reduced layers hold single 2-D
-    # B/C arrays, and iterating them below would quantize per ROW and
-    # return a structurally wrong pytree
-    for l in params.layers:
-        if not l.split:
-            raise ValueError(
-                "dequantized_params supports split (per-gate) reduced layers "
-                "only — the int8 artifact layout (save_model_int8_bin has "
-                "the same contract)"
-            )
-
     def side(Bs, Cs):
-        pairs = _compensated_gate_pairs(Bs, Cs, compensate)
-        return (
-            tuple(_dq(B) for B, _ in pairs),
-            tuple(_dq(C) if C.size else C for _, C in pairs),
+        split = isinstance(Bs, tuple)
+        pairs = _compensated_gate_pairs(
+            Bs if split else (Bs,), Cs if split else (Cs,), compensate
         )
+        qB = tuple(_dq(B) for B, _ in pairs)
+        qC = tuple(_dq(C) if C.size else C for _, C in pairs)
+        return (qB, qC) if split else (qB[0], qC[0])
 
     layers = []
     for l in params.layers:

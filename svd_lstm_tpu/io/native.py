@@ -145,10 +145,15 @@ class NativeModel:
                 kinds.append("d")
             elif os.path.exists(os.path.join(p, "wBi.csv")):
                 kinds.append("R" if force_two_step else "r")
+            elif os.path.exists(os.path.join(p, "wB.csv")):
+                # merged-kernel reduced (one factor file per side, no gate
+                # suffix — save_reduced_weights_as_csv merged form)
+                kinds.append("M" if force_two_step else "m")
             else:
                 raise RuntimeError(
-                    f"{p}: neither Wi.csv (dense) nor wBi.csv (reduced) "
-                    "found — not a weight-export layer directory"
+                    f"{p}: none of Wi.csv (dense), wBi.csv (split reduced) "
+                    "or wB.csv (merged reduced) found — not a weight-export "
+                    "layer directory"
                 )
         return cls(base_dir, layer_dirs, "".join(kinds), transposed=transposed)
 
@@ -230,9 +235,11 @@ class NativeModel:
 
 
 def save_reduced_weights_as_csv(params, savpath: str) -> None:
-    """Per-gate two-step CSV export for the native runtime / external
-    consumers: wB{i,f,c,o}.csv, wC*.csv, uB*.csv, uC*.csv, b*.csv per layer
-    (split-kernel reduced models)."""
+    """Two-step CSV export for the native runtime / external consumers.
+    Split-kernel layers write per-gate files (wB{i,f,c,o}.csv, wC*.csv,
+    uB*.csv, uC*.csv, b*.csv); merged-kernel layers write one file per
+    factor (wB.csv, wC.csv, uB.csv, uC.csv, b.csv) — the native loader's
+    'r'/'m' kinds respectively. Mixed models export layer-by-layer."""
     from svd_lstm_tpu.io.csv_weights import _LAYOUT_MARKER
 
     gates = "ifco"
@@ -242,12 +249,19 @@ def save_reduced_weights_as_csv(params, savpath: str) -> None:
     with open(os.path.join(savpath, _LAYOUT_MARKER), "w") as f:
         f.write("untransposed (in_dim x units) gate blocks; two-step B/C\n")
     for li, layer in enumerate(params.layers):
-        if not layer.split:
-            raise ValueError("CSV export of reduced models expects split kernels")
         d = os.path.join(savpath, f"lstm_{li}")
         os.makedirs(d, exist_ok=True)
         n = layer.units
         b = np.asarray(layer.b)
+        if not layer.split:
+            np.savetxt(os.path.join(d, "wB.csv"), np.asarray(layer.wB), delimiter=",")
+            np.savetxt(os.path.join(d, "uB.csv"), np.asarray(layer.uB), delimiter=",")
+            if layer.wC.shape[1]:
+                np.savetxt(os.path.join(d, "wC.csv"), np.asarray(layer.wC), delimiter=",")
+            if layer.uC.shape[1]:
+                np.savetxt(os.path.join(d, "uC.csv"), np.asarray(layer.uC), delimiter=",")
+            np.savetxt(os.path.join(d, "b.csv"), b, delimiter=",")
+            continue
         for g, name in enumerate(gates):
             np.savetxt(os.path.join(d, f"wB{name}.csv"), np.asarray(layer.wB[g]), delimiter=",")
             np.savetxt(os.path.join(d, f"uB{name}.csv"), np.asarray(layer.uB[g]), delimiter=",")

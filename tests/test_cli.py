@@ -95,14 +95,18 @@ def test_stream_command_jax_and_native_parity(tmp_path, capsys):
         np.testing.assert_allclose(got_r, want_r, atol=1e-4)
 
 
-def test_stream_command_rejects_bad_frames_and_merged_native(tmp_path):
+def test_stream_command_rejects_bad_frames_and_runs_merged_native(tmp_path):
     """Stream hardening: a mis-sized frame line exits with an actionable
-    message (both engines validate width up front), and a merged-kernel
-    reduced checkpoint under --native gets guidance, not a raw traceback."""
+    message (both engines validate width up front). A merged-kernel
+    reduced checkpoint under --native streams through the runtime's 'm'
+    layer kind (round 3; previously refused)."""
+    import shutil
+
     import pytest
 
     from svd_lstm_tpu.__main__ import _stream
     from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+    from svd_lstm_tpu.models.reduced import reduced_lstm_apply
 
     params = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=4, units=(6, 5))
     ckpt = str(tmp_path / "dense.npz")
@@ -114,14 +118,24 @@ def test_stream_command_rejects_bad_frames_and_merged_native(tmp_path):
     with pytest.raises(SystemExit, match="expects 4"):
         _stream([ckpt, "--input", fin, "--output", str(tmp_path / "o.csv")])
 
+    if not (shutil.which("g++") or shutil.which("make")):
+        pytest.skip("no native toolchain")
+    import jax.numpy as jnp
+
     merged = make_reduced_model(
         make_singular_model(params, merged_kernel=True), rank=4
     )
     mck = str(tmp_path / "merged_reduced.npz")
     save_params(mck, merged)
-    with pytest.raises(SystemExit, match="merged-kernel"):
-        _stream([mck, "--native", "--input", fin,
-                 "--output", str(tmp_path / "o2.csv")])
+    rng = np.random.default_rng(2)
+    frames = rng.normal(size=(8, 4)).astype(np.float32)
+    fin2 = str(tmp_path / "frames.csv")
+    np.savetxt(fin2, frames, delimiter=",")
+    fout = str(tmp_path / "o2.csv")
+    _stream([mck, "--native", "--input", fin2, "--output", fout])
+    got = np.loadtxt(fout, delimiter=",")
+    want = np.asarray(reduced_lstm_apply(merged, jnp.asarray(frames)[None]))[0, :, 0]
+    np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 def test_stream_command_int8_bin_artifact(tmp_path):

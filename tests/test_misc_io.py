@@ -150,11 +150,12 @@ def test_csv_layer_dirs_sort_numerically(tmp_path, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
-def test_int8_export_merged_reduced_leaves_no_partial_file(tmp_path):
-    """A merged (non-split) reduced model must be rejected BEFORE any bytes
-    are written — a truncated artifact would corrupt the native consumer."""
+def test_int8_export_merged_reduced_roundtrips(tmp_path):
+    """Merged (non-split) reduced models export as format-v2 kind 'm'
+    (round 3; previously rejected) and the oracle reconstructs the same
+    encoding the file holds."""
     import svd_lstm_tpu as st
-    from svd_lstm_tpu.io.int8_export import save_model_int8_bin
+    from svd_lstm_tpu.io.int8_export import dequantized_params, save_model_int8_bin
     from svd_lstm_tpu.models.lstm import init_stacked_lstm
 
     dense = init_stacked_lstm(jax.random.PRNGKey(8), input_dim=4, units=(6,))
@@ -162,6 +163,8 @@ def test_int8_export_merged_reduced_leaves_no_partial_file(tmp_path):
         st.make_singular_model(dense, merged_kernel=True), rank=4
     )
     path = str(tmp_path / "m.bin")
-    with pytest.raises(ValueError, match="split"):
-        save_model_int8_bin(rmodel, path)
-    assert not os.path.exists(path)
+    nbytes = save_model_int8_bin(rmodel, path)
+    assert nbytes == os.path.getsize(path)
+    dq = dequantized_params(rmodel)
+    assert not dq.layers[0].split  # stays merged
+    assert dq.layers[0].wB.shape == np.asarray(rmodel.layers[0].wB).shape

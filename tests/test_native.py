@@ -337,3 +337,61 @@ def test_input_dim_and_frame_width_guard(tmp_path, dense, rng):
     # a correct frame still steps fine afterwards
     nm.reset()
     assert np.isfinite(nm.step(np.ones(6, np.float32)))
+
+
+def test_merged_reduced_native_matches_jax_csv(tmp_path, dense, rng):
+    """Merged-kernel reduced models stream natively from the CSV export
+    (kind 'm' — round 3; the reference's merged cell is
+    svd_classes_v3.py:249-279). force_two_step=True pins the raw factored
+    path; the default dispatch may densify but must stay exact."""
+    rmodel = make_reduced_model(make_singular_model(dense, merged_kernel=True), rank=6)
+    save_reduced_weights_as_csv(rmodel, str(tmp_path))
+    x = rng.normal(size=(30, 6)).astype(np.float32)
+    y_jax = np.asarray(reduced_lstm_apply(rmodel, jnp.asarray(x)[None]))[0, :, 0]
+    for force in (False, True):
+        nm = NativeModel.from_export_dir(str(tmp_path), force_two_step=force)
+        np.testing.assert_allclose(nm.run(x), y_jax, atol=1e-4)
+    forced = NativeModel.from_export_dir(str(tmp_path), force_two_step=True)
+    assert forced.layer_info(0)["w_reduced"] and forced.layer_info(0)["u_reduced"]
+
+
+def test_merged_reduced_int8_matches_dequantized_oracle(tmp_path, rng):
+    """int8 format v2 kind 'm': the native consumer reproduces the
+    dequantized oracle for merged reduced models (compensated C encoding
+    on both sides of the comparison)."""
+    from svd_lstm_tpu.io.int8_export import dequantized_params, save_model_int8_bin
+
+    dense2 = init_stacked_lstm(jax.random.PRNGKey(13), input_dim=6, units=(8, 8))
+    red = make_reduced_model(make_singular_model(dense2, merged_kernel=True), rank=5)
+    path = str(tmp_path / "merged_int8.bin")
+    save_model_int8_bin(red, path)
+
+    nm = NativeModel.from_int8(path)
+    x = rng.normal(size=(20, 6)).astype(np.float32)
+    y_native = nm.run(x)
+
+    dq = dequantized_params(red)
+    y_oracle = np.asarray(reduced_lstm_apply(dq, jnp.asarray(x)[None]))[0, :, 0]
+    np.testing.assert_allclose(y_native, y_oracle, atol=1e-4)
+
+
+def test_mixed_split_merged_export_dir(tmp_path, rng):
+    """A model whose layers mix split and merged reduced forms exports and
+    loads layer-by-layer (kinds discovered per directory)."""
+    import os
+
+    from svd_lstm_tpu.models.reduced import ReducedModelParams
+
+    dense2 = init_stacked_lstm(jax.random.PRNGKey(14), input_dim=6, units=(8, 8))
+    red_s = make_reduced_model(make_singular_model(dense2, merged_kernel=False), rank=5)
+    red_m = make_reduced_model(make_singular_model(dense2, merged_kernel=True), rank=5)
+    mixed = ReducedModelParams(
+        layers=(red_s.layers[0], red_m.layers[1]), head=red_s.head
+    )
+    save_reduced_weights_as_csv(mixed, str(tmp_path))
+    assert os.path.exists(tmp_path / "lstm_0" / "wBi.csv")
+    assert os.path.exists(tmp_path / "lstm_1" / "wB.csv")
+    nm = NativeModel.from_export_dir(str(tmp_path))
+    x = rng.normal(size=(25, 6)).astype(np.float32)
+    y_jax = np.asarray(reduced_lstm_apply(mixed, jnp.asarray(x)[None]))[0, :, 0]
+    np.testing.assert_allclose(nm.run(x), y_jax, atol=1e-4)

@@ -98,19 +98,32 @@ def test_quantize_params_idempotent():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_dequantized_params_rejects_merged_reduced(rng):
-    """dequantized_params mirrors the int8 exporter's split-only contract:
-    a merged reduced model must raise, not silently quantize per row
-    (ADVICE r2)."""
-    import pytest
-
+def test_dequantized_params_merged_reduced(rng):
+    """dequantized_params on a merged reduced model keeps the single-array
+    structure and quantizes per OUTPUT column of each factor (the ADVICE-r2
+    per-row bug is structurally impossible now that the side helper treats
+    merged as a one-group side — round 3)."""
     from svd_lstm_tpu.io.int8_export import dequantized_params
 
     params = init_stacked_lstm(jax.random.PRNGKey(7), input_dim=8, units=(12,))
     s = st.make_singular_model(params, merged_kernel=True)
     r = st.make_reduced_model(s, rank=8)
-    with pytest.raises(ValueError, match="split"):
-        dequantized_params(r)
+    dq = dequantized_params(r)
+    l, lq = r.layers[0], dq.layers[0]
+    assert not lq.split
+    for a, b in ((l.wB, lq.wB), (l.uB, lq.uB), (l.wC, lq.wC), (l.uC, lq.uC)):
+        assert np.asarray(b).shape == np.asarray(a).shape
+    # B encodes plainly: per-output-column grid, error <= scale/2
+    for a, b in ((l.wB, lq.wB), (l.uB, lq.uB)):
+        a, b = np.asarray(a), np.asarray(b)
+        bound = np.abs(a).max(axis=0) / 127.0 / 2 + 1e-6
+        assert (np.abs(b - a).max(axis=0) <= bound).all()
+    # the encoded layer reconstructs the two-step product to grid accuracy
+    # (C may be the compensated re-solve, so compare products, not C itself)
+    prod = np.asarray(l.uB) @ np.asarray(l.uC)
+    prod_q = np.asarray(lq.uB) @ np.asarray(lq.uC)
+    assert np.abs(prod_q - prod).max() < 0.05 * max(np.abs(prod).max(), 1.0)
+    np.testing.assert_array_equal(np.asarray(lq.b), np.asarray(l.b))
 
 
 @pytest.mark.parametrize("merged", [True, False])
