@@ -53,10 +53,23 @@ from svd_lstm_tpu.models.reduced import (
     ReducedLayerParams,
     reduced_lstm_apply,
 )
+from svd_lstm_tpu.models.conv import (
+    ConvLSTMParams,
+    ConvSingularParams,
+    ConvReducedParams,
+    init_conv_lstm,
+    conv_lstm_apply,
+    conv_singular_apply,
+    conv_reduced_apply,
+)
 from svd_lstm_tpu.factor.svd import (
     factorize_lstm_params,
     make_singular_model,
     make_reduced_model,
+    make_conv_singular_model,
+    make_conv_reduced_model,
+    conv_singular_to_dense,
+    singular_to_dense,
     reduce_matrix_rank,
     reduce_two_step,
     get_model_singular_values,

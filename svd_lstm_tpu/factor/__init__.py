@@ -2,6 +2,10 @@ from svd_lstm_tpu.factor.svd import (
     factorize_lstm_params,
     make_singular_model,
     make_reduced_model,
+    make_conv_singular_model,
+    make_conv_reduced_model,
+    conv_singular_to_dense,
+    singular_to_dense,
     truncate_singular_layer,
     reduce_matrix_rank,
     reduce_two_step,

@@ -223,6 +223,57 @@ def singular_to_dense(smodel: SingularModelParams, dtype=jnp.float32) -> Stacked
 
 
 # ---------------------------------------------------------------------------
+# conv-hybrid surgery: the same pipeline over the Conv1D+LSTM family
+# ---------------------------------------------------------------------------
+#
+# The reference factorizes only pure LSTM stacks (code/svd_classes_v3.py:548)
+# and its conv experiment (code/old_versions/toy-convolution.py:70-76) never
+# meets the compression pipeline. These close the square: the conv front end
+# is carried through unchanged (a 10×1×15 kernel is below any payable rank)
+# while the LSTM stack goes through the identical dense→singular→reduced
+# surgery.
+
+
+def make_conv_singular_model(params, merged_kernel: bool = False, dtype=jnp.float32):
+    """Conv hybrid -> conv + factorized stack (``ConvSingularParams``)."""
+    from svd_lstm_tpu.models.conv import ConvLSTMParams, ConvSingularParams
+
+    if not isinstance(params, ConvLSTMParams):
+        raise TypeError(f"expected ConvLSTMParams, got {type(params).__name__}")
+    inner = make_singular_model(
+        StackedLSTMParams(layers=params.layers, head=params.head),
+        merged_kernel,
+        dtype,
+    )
+    return ConvSingularParams(conv=params.conv, inner=inner)
+
+
+def make_conv_reduced_model(
+    cparams, cutoff: float | None = 0.05, rank: int | None = None, dtype=jnp.float32
+):
+    """Conv + singular stack -> conv + truncated two-step stack."""
+    from svd_lstm_tpu.models.conv import ConvReducedParams, ConvSingularParams
+
+    if not isinstance(cparams, ConvSingularParams):
+        raise TypeError(f"expected ConvSingularParams, got {type(cparams).__name__}")
+    return ConvReducedParams(
+        conv=cparams.conv,
+        inner=make_reduced_model(cparams.inner, cutoff=cutoff, rank=rank, dtype=dtype),
+    )
+
+
+def conv_singular_to_dense(cparams, dtype=jnp.float32):
+    """Collapse a fine-tuned conv hybrid back to the dense family — exact,
+    the conv front end untouched (inverse of ``make_conv_singular_model``)."""
+    from svd_lstm_tpu.models.conv import ConvLSTMParams, ConvSingularParams
+
+    if not isinstance(cparams, ConvSingularParams):
+        raise TypeError(f"expected ConvSingularParams, got {type(cparams).__name__}")
+    dense = singular_to_dense(cparams.inner, dtype)
+    return ConvLSTMParams(conv=cparams.conv, layers=dense.layers, head=dense.head)
+
+
+# ---------------------------------------------------------------------------
 # v1 rank utilities (reference code/old_versions/svd_classes.py)
 # ---------------------------------------------------------------------------
 

@@ -23,6 +23,8 @@ from svd_lstm_tpu.models.lstm import (
     init_lstm_layer,
     lstm_layer_apply,
 )
+from svd_lstm_tpu.models.reduced import ReducedModelParams, reduced_lstm_apply
+from svd_lstm_tpu.models.singular import SingularModelParams, singular_lstm_apply
 
 
 class ConvParams(NamedTuple):
@@ -92,3 +94,70 @@ def conv_lstm_apply(
     if not return_sequences:
         h = h[:, -1]
     return h @ params.head.w + params.head.b
+
+
+# ---------------------------------------------------------------------------
+# Compressed hybrid families: conv front end + factorized/truncated LSTM stack
+# ---------------------------------------------------------------------------
+#
+# The reference compresses only LSTM kernels (code/svd_classes_v3.py:469-676)
+# and trains the conv hybrid as a separate experiment
+# (code/old_versions/toy-convolution.py:70-76); these containers close the
+# square — every model family the framework can train, it can also
+# factorize / truncate / fine-tune / stream. The conv kernel itself is left
+# dense: at the reference's size (10×1×15) it is far below any rank the
+# two-step could pay for, and XLA already runs the whole-sequence causal
+# conv as one MXU-tiled op.
+
+
+class ConvSingularParams(NamedTuple):
+    """Causal-conv front end + SVD-factorized LSTM stack (+ dense head)."""
+
+    conv: ConvParams
+    inner: SingularModelParams
+
+    def weight_count(self) -> int:
+        return int(sum(x.size for x in jax.tree_util.tree_leaves(self)))
+
+
+class ConvReducedParams(NamedTuple):
+    """Causal-conv front end + truncated two-step LSTM stack (+ dense head)."""
+
+    conv: ConvParams
+    inner: ReducedModelParams
+
+    def weight_count(self) -> int:
+        return int(sum(x.size for x in jax.tree_util.tree_leaves(self)))
+
+
+def conv_singular_apply(
+    params: ConvSingularParams,
+    x_seq: jax.Array,
+    return_sequences: bool = True,
+    dropout: float = 0.0,
+    recurrent_dropout: float = 0.0,
+    rng: jax.Array | None = None,
+    remat_chunk: int = 0,
+) -> jax.Array:
+    """Hybrid forward: causal conv + relu, then the factorized stack.
+
+    Dropout/remat kwargs pass straight through to ``singular_lstm_apply``
+    (the conv front end takes no dropout — Keras applies LSTM dropout to
+    the cell inputs, reference code/svd_classes_v3.py:121-127)."""
+    h = jax.nn.relu(causal_conv1d(params.conv, x_seq))
+    return singular_lstm_apply(
+        params.inner,
+        h,
+        return_sequences,
+        dropout=dropout,
+        recurrent_dropout=recurrent_dropout,
+        rng=rng,
+        remat_chunk=remat_chunk,
+    )
+
+
+def conv_reduced_apply(
+    params: ConvReducedParams, x_seq: jax.Array, return_sequences: bool = True
+) -> jax.Array:
+    h = jax.nn.relu(causal_conv1d(params.conv, x_seq))
+    return reduced_lstm_apply(params.inner, h, return_sequences)

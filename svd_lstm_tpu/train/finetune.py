@@ -34,9 +34,13 @@ from svd_lstm_tpu.models.singular import singular_lstm_apply
 from svd_lstm_tpu.train.loop import TrainResult, fit
 
 
-def regularization_loss(params: SingularModelParams, cfg: FactorConfig):
+def regularization_loss(params, cfg: FactorConfig):
     """Σ layers: hoyer(σ_w) + hoyer(σ_u) [+ trace_norm(σ)] [+ orthogonal
-    (U/V factors)]."""
+    (U/V factors)]. Accepts the conv hybrid too — the penalty applies to
+    the factorized stack, the conv front end carries no regularizer
+    (reference regularizes only LSTM kernels, code/svd_classes_v3.py:39-47)."""
+    if hasattr(params, "inner"):  # ConvSingularParams
+        params = params.inner
     total = 0.0
     for layer in params.layers:
         if cfg.hoyer:
@@ -51,8 +55,21 @@ def regularization_loss(params: SingularModelParams, cfg: FactorConfig):
     return total
 
 
-def trainable_mask(params: SingularModelParams, train_uv: bool) -> Any:
-    """Pytree of bools: True = receives updates."""
+def trainable_mask(params, train_uv: bool) -> Any:
+    """Pytree of bools: True = receives updates.
+
+    For the conv hybrid the conv front end follows the factors' rule: frozen
+    under σ-only fine-tuning, trainable with ``train_uv`` — the reference's
+    fine-tune stage retrains only what was factorized
+    (code/svd_acceleration_v3.py:117-128)."""
+    if hasattr(params, "inner"):  # ConvSingularParams
+        from svd_lstm_tpu.models.conv import ConvParams
+
+        return type(params)(
+            conv=ConvParams(w=train_uv, b=train_uv),
+            inner=trainable_mask(params.inner, train_uv),
+        )
+
     def mask_layer(layer: SingularLayerParams) -> SingularLayerParams:
         return SingularLayerParams(
             wl=train_uv, ws=True, wr=train_uv,
@@ -67,7 +84,7 @@ def trainable_mask(params: SingularModelParams, train_uv: bool) -> Any:
 
 
 def make_finetune_optimizer(
-    params: SingularModelParams, cfg: FactorConfig, learning_rate: float = 1e-3
+    params, cfg: FactorConfig, learning_rate: float = 1e-3
 ) -> optax.GradientTransformation:
     train_uv = cfg.train_uv or bool(cfg.orthogonal)
     mask = trainable_mask(params, train_uv)
@@ -78,7 +95,12 @@ def make_finetune_optimizer(
     )
 
 
-def dropout_apply_fn(factor_cfg: FactorConfig, seed: int, remat_chunk: int = 0):
+def dropout_apply_fn(
+    factor_cfg: FactorConfig,
+    seed: int,
+    remat_chunk: int = 0,
+    base_apply=None,
+):
     """``(apply_fn, dropout_rng)`` for the singular fine-tune: a
     Keras-semantics per-gate dropout wrapper when configured
     (reference code/svd_classes_v3.py:121-137), the plain apply otherwise.
@@ -94,16 +116,16 @@ def dropout_apply_fn(factor_cfg: FactorConfig, seed: int, remat_chunk: int = 0):
     wrapper (the layer supports remat with dropout masks); the wrapper
     advertises it via ``remat_chunk_applied`` so the train loops'
     ``resolve_train_apply_fn`` knows the knob was honored."""
+    if base_apply is None:
+        base_apply = singular_lstm_apply
     if factor_cfg.dropout <= 0.0 and factor_cfg.recurrent_dropout <= 0.0:
-        return singular_lstm_apply, None
+        return base_apply, None
     dropout_rng = jax.random.PRNGKey(seed ^ 0x5EED)
 
     def apply_fn(p, x, return_sequences=True, rng=None):
         if rng is None:
-            return singular_lstm_apply(
-                p, x, return_sequences, remat_chunk=remat_chunk
-            )
-        return singular_lstm_apply(
+            return base_apply(p, x, return_sequences, remat_chunk=remat_chunk)
+        return base_apply(
             p,
             x,
             return_sequences,
@@ -118,7 +140,7 @@ def dropout_apply_fn(factor_cfg: FactorConfig, seed: int, remat_chunk: int = 0):
 
 
 def finetune(
-    sparams: SingularModelParams,
+    sparams,
     X_train,
     y_train,
     factor_cfg: FactorConfig = FactorConfig(),
@@ -127,14 +149,24 @@ def finetune(
     init_opt_state=None,
     windows: tuple | None = None,
 ) -> TrainResult:
+    """Fine-tune a factorized model (``SingularModelParams`` or the conv
+    hybrid ``ConvSingularParams`` — the stage dispatches on the family)."""
     if train_cfg is None:
         train_cfg = TrainConfig(
             epochs=factor_cfg.finetune_epochs,
             batch_size=factor_cfg.finetune_batch_size,
         )
+    base_apply = None
+    if hasattr(sparams, "inner"):  # ConvSingularParams
+        from svd_lstm_tpu.models.conv import conv_singular_apply
+
+        base_apply = conv_singular_apply
     optimizer = make_finetune_optimizer(sparams, factor_cfg, train_cfg.learning_rate)
     apply_fn, dropout_rng = dropout_apply_fn(
-        factor_cfg, train_cfg.seed, remat_chunk=train_cfg.remat_chunk
+        factor_cfg,
+        train_cfg.seed,
+        remat_chunk=train_cfg.remat_chunk,
+        base_apply=base_apply,
     )
 
     return fit(
@@ -152,11 +184,14 @@ def finetune(
     )
 
 
-def harvest_sigmas(sparams: SingularModelParams):
+def harvest_sigmas(sparams):
     """Snapshot every layer's (σ_w, σ_u) — the reference collects these after
-    fine-tuning (code/svd_acceleration_v3.py:129-132)."""
+    fine-tuning (code/svd_acceleration_v3.py:129-132). Accepts the conv
+    hybrid too."""
     import numpy as np
 
+    if hasattr(sparams, "inner"):  # ConvSingularParams
+        sparams = sparams.inner
     return [
         (np.asarray(l.ws), np.asarray(l.us)) for l in sparams.layers
     ]

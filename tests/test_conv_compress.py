@@ -1,0 +1,150 @@
+"""Compressed conv-hybrid family: surgery exactness and fine-tune routing.
+
+The reference never composes its conv experiment
+(code/old_versions/toy-convolution.py:70-76) with the compression pipeline
+(code/svd_classes_v3.py:469-676); these tests pin the rebuilt framework's
+square-closing guarantee — the hybrid factorizes, truncates, fine-tunes and
+collapses back to dense with the same exactness contracts as the pure-LSTM
+family.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from svd_lstm_tpu.config import FactorConfig, TrainConfig
+from svd_lstm_tpu.factor.svd import (
+    conv_singular_to_dense,
+    make_conv_reduced_model,
+    make_conv_singular_model,
+)
+from svd_lstm_tpu.models.conv import (
+    conv_lstm_apply,
+    conv_reduced_apply,
+    conv_singular_apply,
+    init_conv_lstm,
+)
+from svd_lstm_tpu.train.finetune import finetune, harvest_sigmas
+
+
+@pytest.fixture(scope="module")
+def hybrid():
+    return init_conv_lstm(
+        jax.random.PRNGKey(7), in_channels=1, filters=8, kernel_size=5, units=(8, 8)
+    )
+
+
+@pytest.fixture(scope="module")
+def x(rng_module):
+    return jnp.asarray(rng_module.normal(size=(3, 24, 1)), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def rng_module():
+    return np.random.default_rng(11)
+
+
+class TestHybridSurgery:
+    @pytest.mark.parametrize("merged", [False, True])
+    def test_factorization_exact(self, hybrid, x, merged):
+        """conv+singular ≡ conv+dense at full rank (SVD is exact)."""
+        cs = make_conv_singular_model(hybrid, merged_kernel=merged)
+        y_dense = np.asarray(conv_lstm_apply(hybrid, x))
+        y_sing = np.asarray(conv_singular_apply(cs, x))
+        np.testing.assert_allclose(y_sing, y_dense, atol=2e-5)
+
+    def test_full_rank_truncation_exact(self, hybrid, x):
+        """Two-step at full rank reproduces the singular model."""
+        cs = make_conv_singular_model(hybrid)
+        cr = make_conv_reduced_model(cs, cutoff=None, rank=8)
+        y_sing = np.asarray(conv_singular_apply(cs, x))
+        y_red = np.asarray(conv_reduced_apply(cr, x))
+        np.testing.assert_allclose(y_red, y_sing, atol=2e-5)
+
+    def test_dense_collapse_roundtrip(self, hybrid, x):
+        """conv_singular_to_dense inverts make_conv_singular_model."""
+        cs = make_conv_singular_model(hybrid)
+        back = conv_singular_to_dense(cs)
+        y0 = np.asarray(conv_lstm_apply(hybrid, x))
+        y1 = np.asarray(conv_lstm_apply(back, x))
+        np.testing.assert_allclose(y1, y0, atol=2e-5)
+        # conv front end passes through bit-exact
+        np.testing.assert_array_equal(np.asarray(back.conv.w), np.asarray(hybrid.conv.w))
+
+    def test_truncation_shrinks_weight_count(self, hybrid):
+        cs = make_conv_singular_model(hybrid)
+        cr = make_conv_reduced_model(cs, cutoff=None, rank=3)
+        full = int(sum(x_.size for x_ in jax.tree_util.tree_leaves(hybrid)))
+        assert cr.weight_count() < full
+
+    def test_type_guards(self, hybrid):
+        cs = make_conv_singular_model(hybrid)
+        with pytest.raises(TypeError):
+            make_conv_singular_model(cs)
+        with pytest.raises(TypeError):
+            make_conv_reduced_model(hybrid, rank=2)
+        with pytest.raises(TypeError):
+            conv_singular_to_dense(hybrid)
+
+
+_FT_KW = dict(num_windows=8, window_len=12, batch_size=4, epochs=2, seed=0)
+
+
+class TestHybridFinetune:
+    def _data(self, rng, T=120):
+        X = rng.normal(size=(1, T, 1)).astype(np.float32)
+        y = (0.1 * np.cumsum(X[0, :, 0])).astype(np.float32)
+        return X, y
+
+    def test_sigma_only_freezes_conv(self, hybrid, rng_module):
+        """σ-only fine-tune: conv front end + factors frozen, σ + head move."""
+        X, y = self._data(rng_module)
+        cs = make_conv_singular_model(hybrid)
+        res = finetune(
+            cs,
+            X,
+            y,
+            factor_cfg=FactorConfig(hoyer=1e-4, train_uv=False),
+            train_cfg=TrainConfig(**_FT_KW),
+        )
+        out = res.params
+        np.testing.assert_array_equal(np.asarray(out.conv.w), np.asarray(cs.conv.w))
+        np.testing.assert_array_equal(
+            np.asarray(out.inner.layers[0].wl), np.asarray(cs.inner.layers[0].wl)
+        )
+        assert not np.allclose(
+            np.asarray(out.inner.layers[0].ws), np.asarray(cs.inner.layers[0].ws)
+        )
+        assert np.isfinite(np.asarray(res.history)).all()
+
+    def test_train_uv_updates_conv(self, hybrid, rng_module):
+        X, y = self._data(rng_module)
+        cs = make_conv_singular_model(hybrid)
+        res = finetune(
+            cs,
+            X,
+            y,
+            factor_cfg=FactorConfig(hoyer=1e-4, train_uv=True),
+            train_cfg=TrainConfig(**_FT_KW),
+        )
+        assert not np.allclose(np.asarray(res.params.conv.w), np.asarray(cs.conv.w))
+
+    def test_harvest_sigmas_hybrid(self, hybrid):
+        cs = make_conv_singular_model(hybrid)
+        sig = harvest_sigmas(cs)
+        assert len(sig) == len(cs.inner.layers)
+        assert sig[0][0].shape == (4, 8)
+
+    def test_finetune_with_dropout(self, hybrid, rng_module):
+        """Dropout routing reaches conv_singular_apply through the wrapper."""
+        X, y = self._data(rng_module)
+        cs = make_conv_singular_model(hybrid)
+        res = finetune(
+            cs,
+            X,
+            y,
+            factor_cfg=FactorConfig(hoyer=1e-4, dropout=0.2, recurrent_dropout=0.1),
+            train_cfg=TrainConfig(**{**_FT_KW, "epochs": 1}),
+        )
+        assert np.isfinite(np.asarray(res.history)).all()
