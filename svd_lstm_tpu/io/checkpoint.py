@@ -18,6 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from svd_lstm_tpu.models.conv import (
+    ConvLSTMParams,
+    ConvParams,
+    ConvReducedParams,
+    ConvSingularParams,
+)
 from svd_lstm_tpu.models.lstm import DenseParams, LSTMLayerParams, StackedLSTMParams
 from svd_lstm_tpu.models.reduced import ReducedLayerParams, ReducedModelParams
 from svd_lstm_tpu.models.singular import SingularLayerParams, SingularModelParams
@@ -33,6 +39,10 @@ _NODE_TYPES = {
         SingularModelParams,
         ReducedLayerParams,
         ReducedModelParams,
+        ConvParams,
+        ConvLSTMParams,
+        ConvSingularParams,
+        ConvReducedParams,
         QuantizedTensor,
     ]
 }

@@ -8,8 +8,12 @@ a functional JAX API: ``state = init_stream(params)``, then
 inside one jitted step.
 
 Works for dense, singular, and reduced models (any pytree with a matching
-per-layer step function). Also provides ``stream_many`` — a scan over a
-frame block for chunked streaming.
+per-layer step function) and the conv hybrids (``ConvLSTMParams`` /
+``ConvSingularParams`` / ``ConvReducedParams`` — the causal conv front end
+streams through a ring buffer of the last ``kernel_size`` frames, whose
+zero initialization IS the whole-sequence path's causal left-padding, so
+step-wise ≡ whole-sequence exactly). Also provides ``stream_many`` — a scan
+over a frame block for chunked streaming.
 """
 
 from __future__ import annotations
@@ -26,14 +30,38 @@ from svd_lstm_tpu.models.singular import (
     singular_recurrent_product,
 )
 
-StreamState = Tuple[Tuple[jax.Array, jax.Array], ...]  # per layer (h, c)
+StreamState = Tuple  # per layer (h, c); conv hybrids prepend a frame buffer
+
+
+def _unpack(params):
+    """(conv | None, lstm layers, head) for every supported family."""
+    if hasattr(params, "inner"):  # ConvSingularParams / ConvReducedParams
+        return params.conv, params.inner.layers, params.inner.head
+    if hasattr(params, "conv"):  # ConvLSTMParams
+        return params.conv, params.layers, params.head
+    return None, params.layers, params.head
+
+
+def _conv_step(conv, buf, frame):
+    """Advance the causal-conv ring buffer one frame and evaluate the conv
+    at the newest position: out_t = Σ_j x_{t-k+1+j} @ w[j] + b. The zero
+    initial buffer reproduces Keras padding='causal' (conv.py:causal_conv1d
+    left-pads k-1 zeros)."""
+    buf = jnp.concatenate([buf[:, 1:], frame[:, None, :]], axis=1)
+    out = jnp.einsum("bkc,kcf->bf", buf, conv.w) + conv.b
+    return jax.nn.relu(out), buf
 
 
 def init_stream(params, batch: int = 1, dtype=jnp.float32) -> StreamState:
-    return tuple(
+    conv, layers, _ = _unpack(params)
+    lstm_state = tuple(
         (jnp.zeros((batch, l.units), dtype), jnp.zeros((batch, l.units), dtype))
-        for l in params.layers
+        for l in layers
     )
+    if conv is None:
+        return lstm_state
+    k, c_in, _ = conv.w.shape
+    return (jnp.zeros((batch, k, c_in), dtype),) + lstm_state
 
 
 def _layer_step(layer, x, h, c):
@@ -49,13 +77,18 @@ def _layer_step(layer, x, h, c):
 def stream_step(params, state: StreamState, frame: jax.Array):
     """One frame in, one prediction out. frame: (batch, d); returns
     (y (batch, head_dim), new_state)."""
+    conv, layers, head = _unpack(params)
     x = frame
-    new_state: List[Tuple[jax.Array, jax.Array]] = []
-    for layer, (h, c) in zip(params.layers, state):
+    new_state: List = []
+    if conv is not None:
+        x, buf = _conv_step(conv, state[0], frame)
+        new_state.append(buf)
+        state = state[1:]
+    for layer, (h, c) in zip(layers, state):
         h, c = _layer_step(layer, x, h, c)
         new_state.append((h, c))
         x = h
-    y = x @ params.head.w + params.head.b
+    y = x @ head.w + head.b
     return y, tuple(new_state)
 
 
@@ -89,8 +122,9 @@ def make_stream_fn(params, batch: int = 1, dtype=jnp.float32):
         pack_split_projection,
     )
 
+    conv, layers, head = _unpack(params)
     layer_fns = []
-    for layer in params.layers:
+    for layer in layers:
         if hasattr(layer, "wB") and layer.split:  # split reduced: pre-pack
             # one shared packing/apply rule with reduced_projection
             packed = {
@@ -113,12 +147,16 @@ def make_stream_fn(params, batch: int = 1, dtype=jnp.float32):
 
             layer_fns.append(step)
 
-    head_w, head_b = params.head.w, params.head.b
+    head_w, head_b = head.w, head.b
 
     @jax.jit
     def step_fn(state, frame):
         x = frame
         new_state = []
+        if conv is not None:
+            x, buf = _conv_step(conv, state[0], frame)
+            new_state.append(buf)
+            state = state[1:]
         for fn, (h, c) in zip(layer_fns, state):
             h, c = fn(x, h, c)
             new_state.append((h, c))

@@ -88,6 +88,76 @@ class TestHybridSurgery:
             conv_singular_to_dense(hybrid)
 
 
+class TestHybridStreaming:
+    """Frame-at-a-time streaming of the conv families: the ring-buffer conv
+    front end (zero-initialized = causal left padding) must reproduce the
+    whole-sequence forward exactly."""
+
+    def _families(self, hybrid):
+        cs = make_conv_singular_model(hybrid)
+        cr = make_conv_reduced_model(cs, cutoff=None, rank=4)
+        return [
+            (hybrid, conv_lstm_apply),
+            (cs, conv_singular_apply),
+            (cr, conv_reduced_apply),
+        ]
+
+    def test_stream_many_matches_batch(self, hybrid, x):
+        from svd_lstm_tpu.models.streaming import init_stream, stream_many
+
+        for params, apply_fn in self._families(hybrid):
+            ref = np.asarray(apply_fn(params, x))[0]
+            ys, _ = stream_many(params, init_stream(params, batch=x.shape[0]), x)
+            np.testing.assert_allclose(np.asarray(ys)[0], ref, atol=1e-5)
+
+    def test_state_carries_across_chunks(self, hybrid, x):
+        from svd_lstm_tpu.models.streaming import init_stream, stream_many
+
+        full, _ = stream_many(hybrid, init_stream(hybrid, batch=x.shape[0]), x)
+        a, st = stream_many(hybrid, init_stream(hybrid, batch=x.shape[0]), x[:, :10])
+        b, _ = stream_many(hybrid, st, x[:, 10:])
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate([a, b], axis=1)), np.asarray(full), atol=1e-6
+        )
+
+    def test_make_stream_fn_matches_stream_step(self, hybrid, rng_module):
+        from svd_lstm_tpu.models.streaming import (
+            init_stream,
+            make_stream_fn,
+            stream_step,
+        )
+
+        for params, _ in self._families(hybrid):
+            fn, state_p = make_stream_fn(params)
+            state_r = init_stream(params)
+            for _t in range(5):
+                frame = jnp.asarray(
+                    rng_module.normal(size=(1, 1)).astype(np.float32)
+                )
+                y_p, state_p = fn(state_p, frame)
+                y_r, state_r = stream_step(params, state_r, frame)
+                np.testing.assert_allclose(
+                    np.asarray(y_p), np.asarray(y_r), atol=1e-5
+                )
+
+
+class TestHybridCheckpoint:
+    def test_npz_roundtrip_all_families(self, hybrid, tmp_path):
+        from svd_lstm_tpu.io.checkpoint import load_params, save_params
+
+        cs = make_conv_singular_model(hybrid)
+        cr = make_conv_reduced_model(cs, cutoff=None, rank=4)
+        for i, params in enumerate((hybrid, cs, cr)):
+            p = str(tmp_path / f"ckpt_{i}.npz")
+            save_params(p, params)
+            back = load_params(p)
+            assert type(back) is type(params)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)
+            ):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 _FT_KW = dict(num_windows=8, window_len=12, batch_size=4, epochs=2, seed=0)
 
 
