@@ -70,6 +70,8 @@ def valid_impls(params, x, precision: str = "exact") -> list:
         if precision == "fast" and _on_tpu():
             return ["auto", "scan"]
         return ["scan"]
+    if hasattr(params, "inner"):  # conv hybrids route on the inner stack
+        params = params.inner
     cands = ["scan", "hybrid"]
     if _max_units(params) <= 128:
         cands.insert(1, "fused")
@@ -100,6 +102,26 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
             f"unknown impl {impl!r}; expected 'auto' | 'scan' | 'fused' | 'hybrid'"
         )
     batched = x.ndim == 3
+    # Conv hybrids: peel the causal-conv front end off FIRST (one whole-
+    # sequence MXU-tiled conv, exact f32) and recurse on the inner LSTM
+    # stack, which then gets the full impl/precision dispatch below. Early
+    # so neither the batched fast path nor _max_units ever sees the
+    # wrapper type.
+    if hasattr(params, "inner") or hasattr(params, "conv"):
+        import jax.numpy as jnp
+
+        from svd_lstm_tpu.models.conv import causal_conv1d
+
+        if hasattr(params, "inner"):  # ConvSingularParams / ConvReducedParams
+            conv, inner = params.conv, params.inner
+        else:  # ConvLSTMParams
+            conv, inner = params.conv, StackedLSTMParams(
+                layers=params.layers, head=params.head
+            )
+        xb = x if batched else x[None]
+        h = jax.nn.relu(causal_conv1d(conv, xb.astype(jnp.float32)))
+        h = h if batched else h[0]
+        return predict(inner, h, impl=impl, precision=precision)
     if batched and impl in ("fused", "hybrid"):
         raise ValueError(
             f"impl={impl!r} kernels are batch-1 only; use impl='auto' (Pallas "

@@ -141,6 +141,33 @@ class TestHybridStreaming:
                 )
 
 
+class TestHybridPredict:
+    """api.predict peels the conv front end and routes the inner stack."""
+
+    def test_predict_matches_apply(self, hybrid, x):
+        from svd_lstm_tpu.api import predict
+
+        cs = make_conv_singular_model(hybrid)
+        cr = make_conv_reduced_model(cs, cutoff=None, rank=4)
+        for params, apply_fn in (
+            (hybrid, conv_lstm_apply),
+            (cs, conv_singular_apply),
+            (cr, conv_reduced_apply),
+        ):
+            ref = np.asarray(apply_fn(params, x))
+            out = np.asarray(predict(params, x))  # batched
+            np.testing.assert_allclose(out, ref, atol=1e-5)
+            out1 = np.asarray(predict(params, x[0]))  # batch-1 (T, d)
+            np.testing.assert_allclose(out1, ref[0], atol=1e-5)
+
+    def test_valid_impls_unwraps_hybrid(self, hybrid, x):
+        from svd_lstm_tpu.api import valid_impls
+
+        cs = make_conv_singular_model(hybrid)
+        assert "fused" in valid_impls(cs, x[0])
+        assert valid_impls(cs, x) == ["scan"]
+
+
 class TestHybridCheckpoint:
     def test_npz_roundtrip_all_families(self, hybrid, tmp_path):
         from svd_lstm_tpu.io.checkpoint import load_params, save_params
