@@ -166,7 +166,56 @@ FlatMat cat_cols(const FlatMat* ms, int count, int* offs) {
   return out;
 }
 
+// Causal-conv front end of the conv hybrids (models/conv.py): a shift
+// buffer of the last k frames (zero-init = the whole-sequence path's
+// causal left padding) and ONE flat GEMV over the (k*c_in x filters)
+// tap-major kernel per frame, then relu.
+struct ConvFront {
+  int k = 0, c_in = 0, filters = 0;
+  FlatMat w;               // (k*c_in) x filters, row i = tap*c_in + channel
+  std::vector<float> b;    // (filters)
+  std::vector<float> buf;  // (k*c_in) shift buffer, oldest frame first
+  std::vector<float> out;  // (filters) scratch
+  bool present() const { return filters > 0; }
+};
+
+void conv_step(ConvFront& C, const float* frame) {
+  const int span = C.k * C.c_in;
+  std::memmove(C.buf.data(), C.buf.data() + C.c_in,
+               sizeof(float) * (span - C.c_in));
+  std::memcpy(C.buf.data() + span - C.c_in, frame, sizeof(float) * C.c_in);
+  for (int j = 0; j < C.filters; ++j) C.out[j] = C.b[j];
+  accum_xTM(C.buf.data(), C.w, C.out.data());
+  for (int j = 0; j < C.filters; ++j)
+    C.out[j] = C.out[j] > 0.0f ? C.out[j] : 0.0f;
+}
+
+// conv/ export directory: w.csv (k*c_in x filters), b.csv (filters),
+// shape.csv (one row: k, c_in) — io/csv_weights.py conv export.
+bool load_conv(const std::string& dir, ConvFront* C) {
+  Mat w, b, shape;
+  if (!load_csv(dir + "/w.csv", &w)) return false;
+  if (!load_csv(dir + "/b.csv", &b)) return false;
+  if (!load_csv(dir + "/shape.csv", &shape) || shape[0].size() < 2)
+    return false;
+  const int k = static_cast<int>(shape[0][0]);
+  const int c_in = static_cast<int>(shape[0][1]);
+  if (k <= 0 || c_in <= 0) return false;
+  C->w.from(w);
+  if (C->w.rows != k * c_in) return false;
+  C->k = k;
+  C->c_in = c_in;
+  C->filters = C->w.cols;
+  for (auto& row : b)
+    for (float v : row) C->b.push_back(v);
+  if (static_cast<int>(C->b.size()) != C->filters) return false;
+  C->buf.assign(static_cast<size_t>(k) * c_in, 0.0f);
+  C->out.assign(C->filters, 0.0f);
+  return true;
+}
+
 struct Model {
+  ConvFront conv;             // optional causal-conv front end
   std::vector<Layer> layers;
   std::vector<float> head_w;  // (n)
   float head_b = 0.0f;
@@ -455,11 +504,30 @@ bool load_int8_model(const std::string& path, Model* m,
   if (!f) return false;
   char magic[8];
   uint32_t version = 0, n_layers = 0;
-  // version 1: kinds 'd'/'r'. version 2 adds 'm' (merged-kernel reduced);
-  // both remain readable.
+  // version 1: kinds 'd'/'r'. version 2 adds 'm' (merged-kernel reduced).
+  // version 3 adds an optional causal-conv front-end section (conv
+  // hybrids). All remain readable.
   bool ok = read_exact(f, magic, 8) && std::memcmp(magic, "SVDL8BIN", 8) == 0 &&
-            read_u32(f, &version) && (version == 1 || version == 2) &&
+            read_u32(f, &version) && (version >= 1 && version <= 3) &&
             read_u32(f, &n_layers);
+  if (ok && version >= 3) {
+    uint8_t has_conv = 0;
+    ok = read_exact(f, &has_conv, 1);
+    if (ok && has_conv) {
+      uint32_t k = 0, c_in = 0;
+      ok = read_u32(f, &k) && read_u32(f, &c_in) && k > 0 && c_in > 0 &&
+           read_qmat(f, &m->conv.w) && read_fvec(f, &m->conv.b) &&
+           m->conv.w.rows == static_cast<int>(k * c_in) &&
+           m->conv.b.size() == static_cast<size_t>(m->conv.w.cols);
+      if (ok) {
+        m->conv.k = static_cast<int>(k);
+        m->conv.c_in = static_cast<int>(c_in);
+        m->conv.filters = m->conv.w.cols;
+        m->conv.buf.assign(static_cast<size_t>(k) * c_in, 0.0f);
+        m->conv.out.assign(m->conv.filters, 0.0f);
+      }
+    }
+  }
   for (uint32_t li = 0; ok && li < n_layers; ++li) {
     uint8_t kind = 0;
     ok = read_exact(f, &kind, 1);
@@ -510,6 +578,12 @@ bool load_int8_model(const std::string& path, Model* m,
     // same head/last-layer size contract as svdlstm_load
     ok = ok && !m->layers.empty() &&
          m->head_w.size() == static_cast<size_t>(m->layers.back().units);
+    // conv front end must feed layer 0 exactly
+    if (ok && m->conv.present()) {
+      const Layer& L0 = m->layers.front();
+      const int in0 = L0.w_reduced ? L0.wBcat.rows : L0.Wcat.rows;
+      ok = m->conv.filters == in0;
+    }
   }
   std::fclose(f);
   return ok;
@@ -579,6 +653,19 @@ void* svdlstm_load(const char* base, const char* layer_dirs,
     delete m;
     return nullptr;
   }
+  // Optional causal-conv front end (conv hybrids): a conv/ directory next
+  // to the lstm_* dirs. Present-but-broken must fail the whole load, and
+  // the conv's filter count must be layer 0's input width.
+  FILE* probe = std::fopen((basedir + "/conv/w.csv").c_str(), "r");
+  if (probe) {
+    std::fclose(probe);
+    const Layer& L0 = m->layers.front();
+    const int in0 = L0.w_reduced ? L0.wBcat.rows : L0.Wcat.rows;
+    if (!load_conv(basedir + "/conv", &m->conv) || m->conv.filters != in0) {
+      delete m;
+      return nullptr;
+    }
+  }
   return m;
 }
 
@@ -614,15 +701,18 @@ int svdlstm_layer_info(void* handle, int li, int* w_reduced, int* u_reduced,
 
 void svdlstm_reset(void* handle) {
   auto* m = static_cast<Model*>(handle);
+  std::fill(m->conv.buf.begin(), m->conv.buf.end(), 0.0f);
   for (auto& L : m->layers) {
     std::fill(L.h.begin(), L.h.end(), 0.0f);
     std::fill(L.c.begin(), L.c.end(), 0.0f);
   }
 }
 
-// Input width the loaded model expects per frame (layer 0's in_dim).
+// Input width the loaded model expects per frame (the conv front end's
+// channel count when present, else layer 0's in_dim).
 int svdlstm_input_dim(void* handle) {
   auto* m = static_cast<Model*>(handle);
+  if (m->conv.present()) return m->conv.c_in;
   if (m->layers.empty()) return 0;
   const Layer& L = m->layers.front();
   return L.w_reduced ? L.wBcat.rows : L.Wcat.rows;
@@ -638,6 +728,10 @@ float svdlstm_step(void* handle, const float* frame, int d) {
     return std::numeric_limits<float>::quiet_NaN();
   auto* m = static_cast<Model*>(handle);
   const float* x = frame;
+  if (m->conv.present()) {
+    conv_step(m->conv, frame);
+    x = m->conv.out.data();
+  }
   for (auto& L : m->layers) {
     layer_step(L, x);
     x = L.h.data();

@@ -74,9 +74,31 @@ def _export(argv):
 
     params = load_params(args.checkpoint)
     os.makedirs(args.outdir, exist_ok=True)
-    save_model_weights_as_csv(params, args.outdir)
-    print(f"per-gate CSVs -> {args.outdir}/")
+    # family dispatch: reduced checkpoints (incl. the conv-reduced hybrid)
+    # export two-step factors; dense (incl. conv-dense) per-gate blocks
+    inner = params.inner if hasattr(params, "inner") else params
+    if hasattr(inner.layers[0], "ws"):
+        raise SystemExit(
+            "singular (factorized) checkpoints have no deployment export: "
+            "collapse to dense first (factor.singular_to_dense / "
+            "conv_singular_to_dense) or truncate (make_reduced_model)"
+        )
+    is_reduced = hasattr(inner.layers[0], "wB")
+    if is_reduced:
+        from svd_lstm_tpu.io.native import save_reduced_weights_as_csv
+
+        save_reduced_weights_as_csv(params, args.outdir)
+        print(f"two-step factor CSVs -> {args.outdir}/")
+    else:
+        save_model_weights_as_csv(params, args.outdir)
+        print(f"per-gate CSVs -> {args.outdir}/")
     if args.json:
+        if is_reduced or hasattr(params, "conv"):
+            raise SystemExit(
+                "--json covers the reference's dense JSON dump "
+                "(load_preprocess.py:80-90) only; export a dense "
+                "(non-conv) checkpoint or drop --json"
+            )
         path = os.path.join(args.outdir, "model_weights.json")
         save_model_weights_as_json(params, path)
         print(f"JSON dump -> {path}")
@@ -296,13 +318,16 @@ def _stream(argv):
 
             params = load_params(args.artifact)
             tmpdir = tempfile.TemporaryDirectory(prefix="svdlstm_stream_")
-            if hasattr(params.layers[0], "wB"):
+            # conv hybrids: the exporters accept the wrapper types directly;
+            # family detection runs on the inner LSTM stack
+            inner = params.inner if hasattr(params, "inner") else params
+            if hasattr(inner.layers[0], "wB"):
                 # split AND merged reduced checkpoints both export (the
                 # native runtime's 'r' and 'm' layer kinds, round 3)
                 from svd_lstm_tpu.io.native import save_reduced_weights_as_csv
 
                 save_reduced_weights_as_csv(params, tmpdir.name)
-            elif hasattr(params.layers[0], "ws"):
+            elif hasattr(inner.layers[0], "ws"):
                 raise SystemExit(
                     "--native cannot run a singular (factorized) checkpoint: "
                     "the native runtime consumes dense or two-step reduced "

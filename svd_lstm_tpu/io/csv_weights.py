@@ -34,8 +34,42 @@ GATES = ("i", "f", "c", "o")
 _LAYOUT_MARKER = "layout.txt"
 
 
+def save_conv_front_csv(conv, savpath: str) -> None:
+    """Write a causal-conv front end as ``conv/`` next to the lstm_* dirs:
+    w.csv ((k·c_in) × filters, tap-major rows), b.csv, shape.csv (k, c_in).
+    The native runtime auto-detects the directory (svdlstm_runtime.cpp
+    load_conv)."""
+    d = os.path.join(savpath, "conv")
+    os.makedirs(d, exist_ok=True)
+    w = np.asarray(conv.w)  # (k, c_in, filters)
+    k, c_in, filters = w.shape
+    np.savetxt(os.path.join(d, "w.csv"), w.reshape(k * c_in, filters), delimiter=",")
+    np.savetxt(os.path.join(d, "b.csv"), np.asarray(conv.b), delimiter=",")
+    np.savetxt(os.path.join(d, "shape.csv"), np.array([[k, c_in]]), delimiter=",")
+
+
+def load_conv_front_csv(savpath: str, dtype=jnp.float32):
+    """Load a ``conv/`` front-end directory if present; None otherwise."""
+    from svd_lstm_tpu.models.conv import ConvParams
+
+    d = os.path.join(savpath, "conv")
+    if not os.path.isdir(d):
+        return None
+    w = np.loadtxt(os.path.join(d, "w.csv"), delimiter=",", ndmin=2)
+    b = np.atleast_1d(np.loadtxt(os.path.join(d, "b.csv"), delimiter=","))
+    shape = np.loadtxt(os.path.join(d, "shape.csv"), delimiter=",").reshape(-1)
+    k, c_in = int(shape[0]), int(shape[1])
+    if w.shape[0] != k * c_in:
+        raise ValueError(
+            f"{d}/w.csv has {w.shape[0]} rows; shape.csv says k*c_in = {k * c_in}"
+        )
+    return ConvParams(
+        w=jnp.asarray(w.reshape(k, c_in, -1), dtype), b=jnp.asarray(b, dtype)
+    )
+
+
 def save_model_weights_as_csv(
-    params: StackedLSTMParams, savpath: str = "./model_weights"
+    params, savpath: str = "./model_weights"
 ) -> None:
     """Write per-gate CSVs, one directory per layer plus ``dense_top/``.
 
@@ -43,10 +77,15 @@ def save_model_weights_as_csv(
     like the reference's own writer); a ``layout.txt`` marker records this
     so ``load_model_from_csv``'s auto mode round-trips correctly even
     though bare fixture directories (no marker) default to the shipped
-    transposed convention."""
+    transposed convention.
+
+    Accepts ``ConvLSTMParams`` too — the conv front end goes to ``conv/``
+    (``save_conv_front_csv``) and the LSTM stack to the usual layout."""
     os.makedirs(savpath, exist_ok=True)
     with open(os.path.join(savpath, _LAYOUT_MARKER), "w") as f:
         f.write("keras\n")  # untransposed (in_dim, units) blocks
+    if hasattr(params, "conv"):  # ConvLSTMParams
+        save_conv_front_csv(params.conv, savpath)
     for li, layer in enumerate(params.layers):
         d = os.path.join(savpath, f"lstm_{li}")
         os.makedirs(d, exist_ok=True)
@@ -149,6 +188,11 @@ def load_model_from_csv(
     if w.ndim == 1:
         w = w[:, None]
     head = DenseParams(w=jnp.asarray(w, dtype), b=jnp.asarray(b.reshape(-1), dtype))
+    conv = load_conv_front_csv(savpath, dtype)
+    if conv is not None:
+        from svd_lstm_tpu.models.conv import ConvLSTMParams
+
+        return ConvLSTMParams(conv=conv, layers=layers, head=head)
     return StackedLSTMParams(layers=layers, head=head)
 
 

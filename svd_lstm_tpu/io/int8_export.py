@@ -12,8 +12,11 @@ Format (all little-endian; "qmat" = u32 rows, u32 cols, f32 scale[cols],
 i8 data[rows*cols] row-major; "fvec" = u32 len, f32 data[len]):
 
     magic  "SVDL8BIN"            (8 bytes)
-    u32    version (= 2; version-1 files have no 'm' kind and stay readable)
+    u32    version (2 for pure LSTM stacks — version-1 files have no 'm'
+           kind and stay readable; 3 when a conv front end is present)
     u32    n_layers
+    [version 3 only] u8 has_conv; if 1: u32 k, u32 c_in,
+           qmat w ((k·c_in) x filters, tap-major rows), fvec b (filters)
     per layer:
       u8   kind: 'd' dense | 'r' reduced (split) | 'm' reduced (merged)
       dense:   qmat W (in x 4n), qmat U (n x 4n), fvec b (4n)
@@ -113,15 +116,25 @@ def _write_fvec(f, v: np.ndarray) -> None:
 
 
 def save_model_int8_bin(params, path: str, compensate: bool = True) -> int:
-    """Write a dense (StackedLSTMParams) or reduced (ReducedModelParams)
-    model as the int8 binary artifact. Returns the file size in bytes.
+    """Write a dense (StackedLSTMParams), reduced (ReducedModelParams) or
+    conv-hybrid (ConvLSTMParams / ConvReducedParams) model as the int8
+    binary artifact. Returns the file size in bytes.
 
     ``compensate`` (default True) applies the least-squares C-factor
     compensation described in the module docstring to reduced models;
     pass False for the raw per-matrix quantization (A/B measurement:
     scripts/int8_compensation_study.py)."""
+    from svd_lstm_tpu.models.conv import ConvLSTMParams, ConvReducedParams
     from svd_lstm_tpu.models.lstm import StackedLSTMParams
     from svd_lstm_tpu.models.reduced import ReducedModelParams
+
+    conv = None
+    if isinstance(params, ConvLSTMParams):
+        conv = params.conv
+        params = StackedLSTMParams(layers=params.layers, head=params.head)
+    elif isinstance(params, ConvReducedParams):
+        conv = params.conv
+        params = params.inner
 
     head_b = np.asarray(params.head.b).reshape(-1)
     if head_b.size != 1:
@@ -139,7 +152,15 @@ def save_model_int8_bin(params, path: str, compensate: bool = True) -> int:
         raise TypeError(f"unsupported model params: {type(params)}")
     with open(path, "wb") as f:
         f.write(MAGIC)
-        f.write(struct.pack("<II", VERSION, len(params.layers)))
+        version = 3 if conv is not None else VERSION
+        f.write(struct.pack("<II", version, len(params.layers)))
+        if conv is not None:
+            w = np.asarray(conv.w, np.float32)  # (k, c_in, filters)
+            k, c_in, filters = w.shape
+            f.write(struct.pack("<B", 1))
+            f.write(struct.pack("<II", k, c_in))
+            _write_qmat(f, w.reshape(k * c_in, filters))
+            _write_fvec(f, np.asarray(conv.b))
         for layer in params.layers:
             if isinstance(params, StackedLSTMParams):
                 f.write(b"d")
@@ -172,8 +193,30 @@ def dequantized_params(params, compensate: bool = True):
     dequantize every matrix; biases/head exact) — the oracle the native
     runtime must match. ``compensate`` must match what
     :func:`save_model_int8_bin` was called with (both default True)."""
+    from svd_lstm_tpu.models.conv import (
+        ConvLSTMParams,
+        ConvParams,
+        ConvReducedParams,
+    )
     from svd_lstm_tpu.models.lstm import LSTMLayerParams, StackedLSTMParams
     from svd_lstm_tpu.models.reduced import ReducedLayerParams, ReducedModelParams
+
+    if isinstance(params, (ConvLSTMParams, ConvReducedParams)):
+        w = np.asarray(params.conv.w, np.float32)
+        k, c_in, filters = w.shape
+        conv_dq = ConvParams(
+            w=_dq(w.reshape(k * c_in, filters)).reshape(k, c_in, filters),
+            b=np.asarray(params.conv.b),
+        )
+        if isinstance(params, ConvLSTMParams):
+            inner = dequantized_params(
+                StackedLSTMParams(layers=params.layers, head=params.head),
+                compensate,
+            )
+            return ConvLSTMParams(conv=conv_dq, layers=inner.layers, head=inner.head)
+        return ConvReducedParams(
+            conv=conv_dq, inner=dequantized_params(params.inner, compensate)
+        )
 
     if isinstance(params, StackedLSTMParams):
         layers = tuple(

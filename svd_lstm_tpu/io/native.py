@@ -239,8 +239,12 @@ def save_reduced_weights_as_csv(params, savpath: str) -> None:
     Split-kernel layers write per-gate files (wB{i,f,c,o}.csv, wC*.csv,
     uB*.csv, uC*.csv, b*.csv); merged-kernel layers write one file per
     factor (wB.csv, wC.csv, uB.csv, uC.csv, b.csv) — the native loader's
-    'r'/'m' kinds respectively. Mixed models export layer-by-layer."""
-    from svd_lstm_tpu.io.csv_weights import _LAYOUT_MARKER
+    'r'/'m' kinds respectively. Mixed models export layer-by-layer.
+
+    Accepts ``ConvReducedParams`` too — the conv front end goes to
+    ``conv/`` (csv_weights.save_conv_front_csv) and the runtime streams it
+    through its shift-buffer conv."""
+    from svd_lstm_tpu.io.csv_weights import _LAYOUT_MARKER, save_conv_front_csv
 
     gates = "ifco"
     os.makedirs(savpath, exist_ok=True)
@@ -248,6 +252,9 @@ def save_reduced_weights_as_csv(params, savpath: str) -> None:
     # from_export_dir's auto-detection treats both export flavors alike
     with open(os.path.join(savpath, _LAYOUT_MARKER), "w") as f:
         f.write("untransposed (in_dim x units) gate blocks; two-step B/C\n")
+    if hasattr(params, "inner"):  # ConvReducedParams
+        save_conv_front_csv(params.conv, savpath)
+        params = params.inner
     for li, layer in enumerate(params.layers):
         d = os.path.join(savpath, f"lstm_{li}")
         os.makedirs(d, exist_ok=True)

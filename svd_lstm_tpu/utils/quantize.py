@@ -98,6 +98,32 @@ def quantize_params(params: Any) -> Any:
     # compensation). Re-solve C against the quantized B, then quantize.
     from svd_lstm_tpu.models.reduced import ReducedModelParams
 
+    # Conv hybrids: the conv kernel (k, c_in, filters) quantizes per FILTER
+    # — one scale over all k·c_in taps, exactly the (k·c_in × filters)
+    # per-column scheme the int8 binary artifact encodes
+    # (io/int8_export.py v3 conv section) — then the inner stack recurses.
+    if hasattr(params, "conv"):
+        from svd_lstm_tpu.models.lstm import StackedLSTMParams
+
+        if _is_qt(params.conv.w):
+            qconv = params.conv
+        else:
+            w = jnp.asarray(params.conv.w, jnp.float32)
+            k, c_in, filters = w.shape
+            qt = quantize_tensor(w.reshape(k * c_in, filters), axis=0)
+            qconv = params.conv._replace(
+                w=QuantizedTensor(
+                    qt.q.reshape(k, c_in, filters),
+                    qt.scale.reshape(1, 1, filters),
+                )
+            )
+        if hasattr(params, "inner"):
+            return params._replace(conv=qconv, inner=quantize_params(params.inner))
+        inner = quantize_params(
+            StackedLSTMParams(layers=params.layers, head=params.head)
+        )
+        return params._replace(conv=qconv, layers=inner.layers, head=inner.head)
+
     if isinstance(params, ReducedModelParams):
         from svd_lstm_tpu.io.int8_export import _compensated_gate_pairs
 
@@ -240,6 +266,24 @@ def fake_quantize_params(params: Any) -> Any:
 
     from svd_lstm_tpu.models.reduced import ReducedModelParams
     from svd_lstm_tpu.models.singular import SingularModelParams
+
+    # Conv hybrids: per-filter STE view of the conv kernel (the grid the
+    # int8 v3 artifact encodes — see quantize_params), inner stack recurses.
+    if hasattr(params, "conv"):
+        from svd_lstm_tpu.models.lstm import StackedLSTMParams
+
+        w = jnp.asarray(params.conv.w, jnp.float32)
+        k, c_in, filters = w.shape
+        fq = fake_quant_tensor(w.reshape(k * c_in, filters), axis=0)
+        fconv = params.conv._replace(w=fq.reshape(k, c_in, filters))
+        if hasattr(params, "inner"):
+            return params._replace(
+                conv=fconv, inner=fake_quantize_params(params.inner)
+            )
+        inner = fake_quantize_params(
+            StackedLSTMParams(layers=params.layers, head=params.head)
+        )
+        return params._replace(conv=fconv, layers=inner.layers, head=inner.head)
 
     if isinstance(params, ReducedModelParams):
         layers = []

@@ -185,6 +185,139 @@ class TestHybridCheckpoint:
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestHybridExportNative:
+    """CSV / int8 export of the conv hybrids and native C++ consumer parity.
+
+    The deployment square for the hybrid family: the runtime streams the
+    conv front end through a shift buffer (svdlstm_runtime.cpp conv_step)
+    whose zero init equals the causal left padding."""
+
+    def _frames(self, T=40):
+        return np.random.default_rng(3).normal(size=(T, 1)).astype(np.float32)
+
+    def test_csv_roundtrip_returns_hybrid(self, hybrid, tmp_path):
+        from svd_lstm_tpu.io.csv_weights import (
+            load_model_from_csv,
+            save_model_weights_as_csv,
+        )
+        from svd_lstm_tpu.models.conv import ConvLSTMParams
+
+        d = str(tmp_path / "export")
+        save_model_weights_as_csv(hybrid, d)
+        back = load_model_from_csv(d)
+        assert isinstance(back, ConvLSTMParams)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(hybrid), jax.tree_util.tree_leaves(back)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_native_dense_hybrid_parity(self, hybrid, tmp_path):
+        from svd_lstm_tpu.io.csv_weights import save_model_weights_as_csv
+        from svd_lstm_tpu.io.native import NativeModel
+
+        d = str(tmp_path / "export")
+        save_model_weights_as_csv(hybrid, d)
+        m = NativeModel.from_export_dir(d)
+        frames = self._frames()
+        assert m.input_dim == 1
+        got = m.run(frames)
+        ref = np.asarray(conv_lstm_apply(hybrid, jnp.asarray(frames[None])))[0, :, 0]
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+        # reset must clear the conv shift buffer too
+        m.reset()
+        np.testing.assert_allclose(m.run(frames), got, atol=0)
+
+    def test_native_reduced_hybrid_parity(self, hybrid, tmp_path):
+        from svd_lstm_tpu.io.native import NativeModel, save_reduced_weights_as_csv
+
+        cs = make_conv_singular_model(hybrid)
+        cr = make_conv_reduced_model(cs, cutoff=None, rank=3)
+        d = str(tmp_path / "export_red")
+        save_reduced_weights_as_csv(cr, d)
+        m = NativeModel.from_export_dir(d)
+        frames = self._frames()
+        got = m.run(frames)
+        ref = np.asarray(conv_reduced_apply(cr, jnp.asarray(frames[None])))[0, :, 0]
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_native_int8_hybrid_parity(self, hybrid, tmp_path):
+        from svd_lstm_tpu.io.int8_export import dequantized_params, save_model_int8_bin
+        from svd_lstm_tpu.io.native import NativeModel
+
+        cs = make_conv_singular_model(hybrid)
+        cr = make_conv_reduced_model(cs, cutoff=None, rank=3)
+        frames = self._frames()
+        for model, apply_fn in ((hybrid, conv_lstm_apply), (cr, conv_reduced_apply)):
+            p = str(tmp_path / "model.i8bin")
+            save_model_int8_bin(model, p)
+            m = NativeModel.from_int8(p)
+            got = m.run(frames)
+            oracle = dequantized_params(model)
+            oracle = jax.tree.map(jnp.asarray, oracle)
+            ref = np.asarray(apply_fn(oracle, jnp.asarray(frames[None])))[0, :, 0]
+            np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_conv_filter_mismatch_refuses_load(self, hybrid, tmp_path):
+        from svd_lstm_tpu.io.csv_weights import save_model_weights_as_csv
+        from svd_lstm_tpu.io.native import NativeModel
+
+        d = str(tmp_path / "export_bad")
+        save_model_weights_as_csv(hybrid, d)
+        # corrupt: drop a filter column from the conv kernel
+        import os
+
+        w = np.loadtxt(os.path.join(d, "conv", "w.csv"), delimiter=",", ndmin=2)
+        np.savetxt(os.path.join(d, "conv", "w.csv"), w[:, :-1], delimiter=",")
+        with pytest.raises(RuntimeError):
+            NativeModel.from_export_dir(d)
+
+
+class TestHybridQuantize:
+    def test_quantize_roundtrip_and_apply(self, hybrid, x):
+        from svd_lstm_tpu.utils.quantize import (
+            QuantizedTensor,
+            dequantize_params,
+            quantize_params,
+            quantized_apply,
+        )
+
+        cs = make_conv_singular_model(hybrid)
+        cr = make_conv_reduced_model(cs, cutoff=None, rank=3)
+        for params, apply_fn in ((hybrid, conv_lstm_apply), (cr, conv_reduced_apply)):
+            q = quantize_params(params)
+            assert isinstance(q.conv.w, QuantizedTensor)
+            assert q.conv.w.q.shape == np.asarray(params.conv.w).shape
+            dq = dequantize_params(q)
+            # quantization error bounded by scale/2 per element
+            err = np.abs(np.asarray(dq.conv.w) - np.asarray(params.conv.w))
+            assert err.max() <= float(np.max(np.asarray(q.conv.w.scale))) / 2 + 1e-7
+            y_q = np.asarray(quantized_apply(apply_fn)(q, x))
+            y_dq = np.asarray(apply_fn(dq, x))
+            np.testing.assert_allclose(y_q, y_dq, atol=1e-6)
+
+    def test_fake_quantize_matches_encoding(self, hybrid):
+        from svd_lstm_tpu.utils.quantize import (
+            dequantize_params,
+            fake_quantize_params,
+            quantize_params,
+        )
+
+        fq = fake_quantize_params(hybrid)
+        dq = dequantize_params(quantize_params(hybrid))
+        np.testing.assert_allclose(
+            np.asarray(fq.conv.w), np.asarray(dq.conv.w), atol=1e-6
+        )
+
+    def test_qat_gradients_flow_to_conv(self, hybrid, x):
+        from svd_lstm_tpu.utils.quantize import qat_apply
+
+        def loss(p):
+            return jnp.sum(qat_apply(conv_lstm_apply)(p, x) ** 2)
+
+        g = jax.grad(loss)(hybrid)
+        assert float(jnp.abs(g.conv.w).max()) > 0  # STE passes through
+
+
 _FT_KW = dict(num_windows=8, window_len=12, batch_size=4, epochs=2, seed=0)
 
 
