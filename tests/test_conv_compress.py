@@ -318,6 +318,26 @@ class TestHybridQuantize:
         assert float(jnp.abs(g.conv.w).max()) > 0  # STE passes through
 
 
+def test_conv_compression_example_smoke():
+    """examples/conv_compression.py drives the whole hybrid workflow
+    (train → factorize → fine-tune → truncate → native consumer) with
+    parity asserts inside the script."""
+    import os
+    import subprocess
+    import sys
+
+    from conftest import REPO_DIR, subprocess_env
+
+    env = subprocess_env(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    script = os.path.join(REPO_DIR, "examples", "conv_compression.py")
+    out = subprocess.run(
+        [sys.executable, script, "--quick"],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "conv compression workflow OK" in out.stdout, out.stdout[-2000:]
+
+
 _FT_KW = dict(num_windows=8, window_len=12, batch_size=4, epochs=2, seed=0)
 
 
