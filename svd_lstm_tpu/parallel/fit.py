@@ -230,10 +230,16 @@ def finetune_dp(
             batch_size=factor_cfg.finetune_batch_size,
         )
 
-    # same wrapper + key derivation as the single-device finetune (one
-    # shared definition — they cannot drift)
+    # same wrapper + key derivation + family dispatch as the single-device
+    # finetune (one shared definition — they cannot drift)
+    base_apply = None
+    if hasattr(sparams, "inner"):  # ConvSingularParams
+        from svd_lstm_tpu.models.conv import conv_singular_apply
+
+        base_apply = conv_singular_apply
     apply_fn, dropout_rng = dropout_apply_fn(
-        factor_cfg, train_cfg.seed, remat_chunk=train_cfg.remat_chunk
+        factor_cfg, train_cfg.seed, remat_chunk=train_cfg.remat_chunk,
+        base_apply=base_apply,
     )
     optimizer = make_finetune_optimizer(
         sparams, factor_cfg, train_cfg.learning_rate

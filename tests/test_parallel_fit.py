@@ -144,3 +144,31 @@ def test_fit_dp_validation_and_checkpoint(data, tmp_path):
 
     best = load_params(ckpt)
     assert jax.tree.structure(best) == jax.tree.structure(params)
+
+
+def test_finetune_dp_conv_hybrid_matches_single_device(data):
+    """The dp fine-tune dispatches on the conv-hybrid family exactly like
+    the single-device loop (shared dropout_apply_fn base dispatch)."""
+    from svd_lstm_tpu.factor.svd import make_conv_singular_model
+    from svd_lstm_tpu.models.conv import init_conv_lstm
+
+    X, y = data
+    hybrid = init_conv_lstm(
+        jax.random.PRNGKey(2), in_channels=6, filters=8, kernel_size=5,
+        units=(8, 8),
+    )
+    cs = make_conv_singular_model(hybrid)
+    fcfg = FactorConfig(hoyer=0.01)
+    tcfg = TrainConfig(**CFG)
+    mesh = make_mesh(dp=8, tp=1)
+
+    r_one = finetune(cs, X, y, factor_cfg=fcfg, train_cfg=tcfg)
+    r_dp = finetune_dp(cs, X, y, mesh, factor_cfg=fcfg, train_cfg=tcfg)
+
+    np.testing.assert_allclose(r_dp.history, r_one.history, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(r_dp.params), jax.tree.leaves(r_one.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    # conv front end stayed frozen under sigma-only fine-tuning
+    np.testing.assert_array_equal(
+        np.asarray(r_dp.params.conv.w), np.asarray(cs.conv.w)
+    )
