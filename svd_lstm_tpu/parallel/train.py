@@ -316,12 +316,19 @@ def make_dp_finetune_step(
 
     if factor_cfg is None:
         factor_cfg = FactorConfig()
+    # family dispatch: the conv hybrid fine-tunes through its own forward
+    # (same rule as train.finetune / parallel.fit.finetune_dp)
+    apply_fn = singular_lstm_apply
+    if hasattr(sparams, "inner"):  # ConvSingularParams
+        from svd_lstm_tpu.models.conv import conv_singular_apply
+
+        apply_fn = conv_singular_apply
     optimizer = make_finetune_optimizer(sparams, factor_cfg, learning_rate)
     opt_state = optimizer.init(sparams)
     step = make_dp_train_step(
         mesh,
         optimizer,
-        singular_lstm_apply,
+        apply_fn,
         loss_extra=lambda p: regularization_loss(p, factor_cfg),
     )
     return step, opt_state
