@@ -62,9 +62,12 @@ def magnitude_mask(values: np.ndarray, sparsity: float) -> np.ndarray:
     return mask
 
 
-def prune_sigmas(sparams: SingularModelParams, sparsity: float) -> SingularModelParams:
+def prune_sigmas(sparams, sparsity: float):
     """Zero the smallest-magnitude ``sparsity`` fraction of every σ vector
-    (per tensor: each layer's σ_w and σ_u independently)."""
+    (per tensor: each layer's σ_w and σ_u independently). Accepts the conv
+    hybrid (``ConvSingularParams``) — only the factorized stack prunes."""
+    if hasattr(sparams, "inner"):  # ConvSingularParams
+        return sparams._replace(inner=prune_sigmas(sparams.inner, sparsity))
 
     def prune_layer(layer: SingularLayerParams) -> SingularLayerParams:
         ws = np.asarray(layer.ws)
@@ -79,9 +82,11 @@ def prune_sigmas(sparams: SingularModelParams, sparsity: float) -> SingularModel
     )
 
 
-def sigma_sparsity(sparams: SingularModelParams) -> float:
+def sigma_sparsity(sparams) -> float:
     """Fraction of exactly-zero entries across every σ vector."""
     total = zeros = 0
+    if hasattr(sparams, "inner"):  # ConvSingularParams
+        sparams = sparams.inner
     for layer in sparams.layers:
         for v in (np.asarray(layer.ws), np.asarray(layer.us)):
             total += v.size
@@ -90,7 +95,7 @@ def sigma_sparsity(sparams: SingularModelParams) -> float:
 
 
 def finetune_with_pruning(
-    sparams: SingularModelParams,
+    sparams,
     X_train,
     y_train,
     schedule: PolynomialDecaySchedule = PolynomialDecaySchedule(),

@@ -318,6 +318,40 @@ class TestHybridQuantize:
         assert float(jnp.abs(g.conv.w).max()) > 0  # STE passes through
 
 
+class TestHybridPruning:
+    def test_prune_and_sparsity(self, hybrid):
+        from svd_lstm_tpu.factor.prune_magnitude import prune_sigmas, sigma_sparsity
+
+        cs = make_conv_singular_model(hybrid)
+        pruned = prune_sigmas(cs, 0.5)
+        assert type(pruned) is type(cs)
+        assert sigma_sparsity(pruned) == pytest.approx(0.5, abs=0.05)
+        np.testing.assert_array_equal(
+            np.asarray(pruned.conv.w), np.asarray(cs.conv.w)
+        )
+
+    def test_pruning_finetune_runs(self, hybrid, rng_module):
+        from svd_lstm_tpu.factor.prune_magnitude import (
+            PolynomialDecaySchedule,
+            finetune_with_pruning,
+            sigma_sparsity,
+        )
+
+        X = rng_module.normal(size=(1, 120, 1)).astype(np.float32)
+        y = (0.1 * np.cumsum(X[0, :, 0])).astype(np.float32)
+        cs = make_conv_singular_model(hybrid)
+        res = finetune_with_pruning(
+            cs, X, y,
+            schedule=PolynomialDecaySchedule(
+                final_sparsity=0.5, begin_step=0, end_step=4
+            ),
+            train_cfg=TrainConfig(**_FT_KW),
+            factor_cfg=FactorConfig(hoyer=0.0),
+        )
+        assert sigma_sparsity(res.params) == pytest.approx(0.5, abs=0.05)
+        assert np.isfinite(np.asarray(res.history)).all()
+
+
 def test_conv_compression_example_smoke():
     """examples/conv_compression.py drives the whole hybrid workflow
     (train → factorize → fine-tune → truncate → native consumer) with
