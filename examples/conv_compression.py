@@ -120,9 +120,11 @@ def main():
     from svd_lstm_tpu.io.native import NativeModel, save_reduced_weights_as_csv
 
     save_reduced_weights_as_csv(cr, export_dir)
+    import subprocess
+
     try:
         nm = NativeModel.from_export_dir(export_dir)
-    except (RuntimeError, OSError) as e:
+    except (RuntimeError, OSError, subprocess.CalledProcessError) as e:
         print(f"native runtime unavailable ({e}); skipping consumer check")
     else:
         frames = np.asarray(ds.X[0, :256], np.float32)

@@ -159,8 +159,9 @@ def _trace(argv):
         from svd_lstm_tpu.models.lstm import init_stacked_lstm
 
         params = init_stacked_lstm(jax.random.key(0))
-    # every model family (dense/singular/reduced) exposes input_dim
-    d = params.layers[0].input_dim
+    from svd_lstm_tpu.api import model_input_dim
+
+    d = model_input_dim(params)  # family-aware (conv hybrids: c_in)
     x = jax.random.normal(jax.random.key(1), (args.steps, d), jnp.float32)
     fn = jax.jit(lambda p, xx: predict(p, xx, impl=args.impl, precision=args.precision))
     s = summarize(fn, params, x, out_dir=args.outdir, top=args.top)
@@ -208,7 +209,9 @@ def _tune(argv):
         from svd_lstm_tpu.models.lstm import init_stacked_lstm
 
         params = init_stacked_lstm(jax.random.key(0))
-    d = params.layers[0].input_dim
+    from svd_lstm_tpu.api import model_input_dim
+
+    d = model_input_dim(params)  # family-aware (conv hybrids: c_in)
     shape = (args.batch, args.steps, d) if args.batch else (args.steps, d)
     x = jax.random.normal(jax.random.key(1), shape, jnp.float32)
     r = at.autotune(params, x, precision=args.precision, repeats=args.repeats)
@@ -358,7 +361,9 @@ def _stream(argv):
             params = load_model_from_csv(args.artifact)
         else:
             params = load_params(args.artifact)
-        in_dim = params.layers[0].input_dim
+        from svd_lstm_tpu.api import model_input_dim
+
+        in_dim = model_input_dim(params)  # family-aware (conv hybrids: c_in)
         step_fn, state = make_stream_fn(params)
         state_box = [state]
 

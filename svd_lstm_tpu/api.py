@@ -50,6 +50,16 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform != "cpu"
 
 
+def model_input_dim(params) -> int:
+    """Frame width the model consumes: the conv front end's channel count
+    for the conv hybrids, else layer 0's ``input_dim`` (every LSTM layer
+    type exposes it). The one place CLI/tooling should derive probe-input
+    widths from."""
+    if hasattr(params, "conv"):
+        return int(params.conv.w.shape[1])
+    return int(params.layers[0].input_dim)
+
+
 def _max_units(params) -> int:
     return max(l.units for l in params.layers)
 

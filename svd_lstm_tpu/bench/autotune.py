@@ -52,6 +52,13 @@ def _family(params) -> str:
         return "singular"
     if isinstance(params, ReducedModelParams):
         return "reduced"
+    if hasattr(params, "conv"):  # conv hybrids wrap an inner family
+        inner = (
+            params.inner
+            if hasattr(params, "inner")
+            else StackedLSTMParams(layers=params.layers, head=params.head)
+        )
+        return "conv+" + _family(inner)
     raise TypeError(f"unknown model params: {type(params)}")
 
 
@@ -66,6 +73,13 @@ def _dims(params) -> list:
     shapes = lambda node: [  # noqa: E731
         tuple(int(s) for s in x.shape) for x in jax.tree_util.tree_leaves(node)
     ]
+    if hasattr(params, "conv"):  # conv hybrids: conv kernel shape + inner dims
+        inner = (
+            params.inner
+            if hasattr(params, "inner")
+            else StackedLSTMParams(layers=params.layers, head=params.head)
+        )
+        return [("conv", shapes(params.conv))] + _dims(inner)
     return [(int(l.units), shapes(l)) for l in params.layers] + [shapes(params.head)]
 
 

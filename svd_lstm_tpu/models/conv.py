@@ -86,11 +86,14 @@ def init_conv_lstm(
 
 
 def conv_lstm_apply(
-    params: ConvLSTMParams, x_seq: jax.Array, return_sequences: bool = True
+    params: ConvLSTMParams,
+    x_seq: jax.Array,
+    return_sequences: bool = True,
+    remat_chunk: int = 0,
 ) -> jax.Array:
     h = jax.nn.relu(causal_conv1d(params.conv, x_seq))
     for layer in params.layers:
-        h = lstm_layer_apply(layer, h)
+        h = lstm_layer_apply(layer, h, remat_chunk=remat_chunk)
     if not return_sequences:
         h = h[:, -1]
     return h @ params.head.w + params.head.b

@@ -202,10 +202,18 @@ def resolve_train_apply_fn(cfg: TrainConfig, apply_fn: Callable):
                 True,
             )
     if cfg.remat_chunk:
+        from svd_lstm_tpu.models.conv import conv_lstm_apply, conv_singular_apply
+
         if apply_fn is stacked_lstm_apply:
             return partial(stacked_lstm_apply, remat_chunk=cfg.remat_chunk), False
         if apply_fn is singular_lstm_apply:
             return partial(singular_lstm_apply, remat_chunk=cfg.remat_chunk), False
+        # conv hybrids carry the knob too (no training kernel exists for
+        # them, so the kernel branch above always falls through to here)
+        if apply_fn is conv_lstm_apply:
+            return partial(conv_lstm_apply, remat_chunk=cfg.remat_chunk), False
+        if apply_fn is conv_singular_apply:
+            return partial(conv_singular_apply, remat_chunk=cfg.remat_chunk), False
         if getattr(apply_fn, "remat_chunk_applied", None) != cfg.remat_chunk:
             import warnings
 

@@ -174,3 +174,48 @@ def test_stream_command_int8_bin_artifact(tmp_path):
         reduced_lstm_apply(dequantized_params(reduced), jnp.asarray(frames)[None])
     )[0, :, 0]
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_stream_command_conv_hybrid_checkpoint(tmp_path):
+    """CLI stream over a conv-hybrid checkpoint: the JAX path derives the
+    frame width from the conv front end (c_in, not filters — round-3
+    review fix), and the native path consumes the conv-reduced export."""
+    import jax.numpy as jnp
+
+    from svd_lstm_tpu.__main__ import _stream
+    from svd_lstm_tpu.factor.svd import (
+        make_conv_reduced_model,
+        make_conv_singular_model,
+    )
+    from svd_lstm_tpu.models.conv import (
+        conv_lstm_apply,
+        conv_reduced_apply,
+        init_conv_lstm,
+    )
+
+    hybrid = init_conv_lstm(
+        jax.random.PRNGKey(4), in_channels=2, filters=6, kernel_size=4,
+        units=(6, 5),
+    )
+    ckpt = str(tmp_path / "hybrid.npz")
+    save_params(ckpt, hybrid)
+    rng = np.random.default_rng(1)
+    frames = rng.normal(size=(12, 2)).astype(np.float32)
+    fin = str(tmp_path / "frames.csv")
+    np.savetxt(fin, frames, delimiter=",")
+
+    fout = str(tmp_path / "pred.csv")
+    _stream([ckpt, "--input", fin, "--output", fout])
+    got = np.loadtxt(fout, delimiter=",")
+    want = np.asarray(conv_lstm_apply(hybrid, jnp.asarray(frames)[None]))[0, :, 0]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # conv-reduced checkpoint through the --native temp-export route
+    cr = make_conv_reduced_model(make_conv_singular_model(hybrid), rank=3)
+    ckpt_r = str(tmp_path / "hybrid_reduced.npz")
+    save_params(ckpt_r, cr)
+    fout_r = str(tmp_path / "pred_red.csv")
+    _stream([ckpt_r, "--native", "--input", fin, "--output", fout_r])
+    got_r = np.loadtxt(fout_r, delimiter=",")
+    want_r = np.asarray(conv_reduced_apply(cr, jnp.asarray(frames)[None]))[0, :, 0]
+    np.testing.assert_allclose(got_r, want_r, atol=2e-4)

@@ -318,6 +318,57 @@ class TestHybridQuantize:
         assert float(jnp.abs(g.conv.w).max()) > 0  # STE passes through
 
 
+class TestHybridTooling:
+    """The CLI/tooling surfaces the review flagged: input-dim derivation,
+    autotune cache keys, and remat routing must all accept the hybrids."""
+
+    def test_model_input_dim(self, hybrid):
+        from svd_lstm_tpu.api import model_input_dim
+        from svd_lstm_tpu.models.lstm import init_stacked_lstm
+
+        assert model_input_dim(hybrid) == 1  # c_in, NOT filters
+        cs = make_conv_singular_model(hybrid)
+        assert model_input_dim(cs) == 1
+        assert model_input_dim(make_conv_reduced_model(cs, rank=3)) == 1
+        dense = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=6, units=(4,))
+        assert model_input_dim(dense) == 6
+
+    def test_autotune_key_and_tuned_predict(self, hybrid, x):
+        from svd_lstm_tpu.bench.autotune import cache_key, predict_tuned
+
+        cs = make_conv_singular_model(hybrid)
+        cr = make_conv_reduced_model(cs, cutoff=None, rank=3)
+        keys = {cache_key(p, x[0], "exact") for p in (hybrid, cs, cr)}
+        assert len(keys) == 3  # families key distinctly
+        ref = np.asarray(conv_reduced_apply(cr, x))
+        got = np.asarray(predict_tuned(cr, x))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_remat_chunk_reaches_hybrid_applies(self, hybrid, x):
+        """resolve_train_apply_fn routes remat_chunk into the conv applies
+        (identical values, no silent no-remat warning)."""
+        import warnings
+
+        from svd_lstm_tpu.train.loop import resolve_train_apply_fn
+
+        cs = make_conv_singular_model(hybrid)
+        for apply_fn, params in (
+            (conv_lstm_apply, hybrid),
+            (conv_singular_apply, cs),
+        ):
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")  # the no-remat warning fails
+                fn, using_kernel = resolve_train_apply_fn(
+                    TrainConfig(remat_chunk=6), apply_fn
+                )
+            assert not using_kernel
+            np.testing.assert_allclose(
+                np.asarray(fn(params, x)),
+                np.asarray(apply_fn(params, x)),
+                atol=1e-6,
+            )
+
+
 class TestHybridPruning:
     def test_prune_and_sparsity(self, hybrid):
         from svd_lstm_tpu.factor.prune_magnitude import prune_sigmas, sigma_sparsity
@@ -352,10 +403,11 @@ class TestHybridPruning:
         assert np.isfinite(np.asarray(res.history)).all()
 
 
-def test_conv_compression_example_smoke():
+def test_conv_compression_example_smoke(tmp_path):
     """examples/conv_compression.py drives the whole hybrid workflow
     (train → factorize → fine-tune → truncate → native consumer) with
-    parity asserts inside the script."""
+    parity asserts inside the script. --out points at tmp so the test
+    never writes build outputs into the repo tree."""
     import os
     import subprocess
     import sys
@@ -365,7 +417,7 @@ def test_conv_compression_example_smoke():
     env = subprocess_env(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
     script = os.path.join(REPO_DIR, "examples", "conv_compression.py")
     out = subprocess.run(
-        [sys.executable, script, "--quick"],
+        [sys.executable, script, "--quick", "--out", str(tmp_path)],
         env=env, capture_output=True, text=True, timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
