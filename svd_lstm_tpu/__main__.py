@@ -53,6 +53,18 @@ _COMMANDS = {
 }
 
 
+def _load_checkpoint_f32(path):
+    """``load_params`` + dequantize: an int8-quantized npz checkpoint
+    (``export --int8``'s model_int8.npz, QuantizedTensor leaves) loads as
+    the f32 model it encodes, so every CLI consumer (stream/tune/trace/
+    export) just works on it; plain checkpoints pass through unchanged
+    (dequantize_params is an identity on non-quantized leaves)."""
+    from svd_lstm_tpu.io.checkpoint import load_params
+    from svd_lstm_tpu.utils.quantize import dequantize_params
+
+    return dequantize_params(load_params(path))
+
+
 def _export(argv):
     import argparse
 
@@ -72,7 +84,7 @@ def _export(argv):
         save_model_weights_as_json,
     )
 
-    params = load_params(args.checkpoint)
+    params = _load_checkpoint_f32(args.checkpoint)
     os.makedirs(args.outdir, exist_ok=True)
     # family dispatch: reduced checkpoints (incl. the conv-reduced hybrid)
     # export two-step factors; dense (incl. conv-dense) per-gate blocks
@@ -154,7 +166,7 @@ def _trace(argv):
     if args.checkpoint:
         from svd_lstm_tpu.io.checkpoint import load_params
 
-        params = load_params(args.checkpoint)
+        params = _load_checkpoint_f32(args.checkpoint)
     else:
         from svd_lstm_tpu.models.lstm import init_stacked_lstm
 
@@ -204,7 +216,7 @@ def _tune(argv):
     if args.checkpoint:
         from svd_lstm_tpu.io.checkpoint import load_params
 
-        params = load_params(args.checkpoint)
+        params = _load_checkpoint_f32(args.checkpoint)
     else:
         from svd_lstm_tpu.models.lstm import init_stacked_lstm
 
@@ -319,7 +331,7 @@ def _stream(argv):
 
             from svd_lstm_tpu.io.checkpoint import load_params
 
-            params = load_params(args.artifact)
+            params = _load_checkpoint_f32(args.artifact)
             tmpdir = tempfile.TemporaryDirectory(prefix="svdlstm_stream_")
             # conv hybrids: the exporters accept the wrapper types directly;
             # family detection runs on the inner LSTM stack
@@ -360,7 +372,7 @@ def _stream(argv):
 
             params = load_model_from_csv(args.artifact)
         else:
-            params = load_params(args.artifact)
+            params = _load_checkpoint_f32(args.artifact)
         from svd_lstm_tpu.api import model_input_dim
 
         in_dim = model_input_dim(params)  # family-aware (conv hybrids: c_in)

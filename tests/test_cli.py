@@ -219,3 +219,31 @@ def test_stream_command_conv_hybrid_checkpoint(tmp_path):
     got_r = np.loadtxt(fout_r, delimiter=",")
     want_r = np.asarray(conv_reduced_apply(cr, jnp.asarray(frames)[None]))[0, :, 0]
     np.testing.assert_allclose(got_r, want_r, atol=2e-4)
+
+
+def test_stream_command_quantized_npz_checkpoint(tmp_path):
+    """An int8-quantized npz checkpoint (export --int8's model_int8.npz)
+    streams as the f32 model it encodes — the CLI dequantizes on load
+    instead of crashing on QuantizedTensor leaves."""
+    import jax.numpy as jnp
+
+    from svd_lstm_tpu.__main__ import _stream
+    from svd_lstm_tpu.models.lstm import stacked_lstm_apply
+    from svd_lstm_tpu.utils.quantize import dequantize_params, quantize_params
+
+    params = init_stacked_lstm(jax.random.PRNGKey(5), input_dim=3, units=(6,))
+    q = quantize_params(params)
+    ckpt = str(tmp_path / "model_int8.npz")
+    save_params(ckpt, q)
+    rng = np.random.default_rng(2)
+    frames = rng.normal(size=(10, 3)).astype(np.float32)
+    fin = str(tmp_path / "frames.csv")
+    np.savetxt(fin, frames, delimiter=",")
+    fout = str(tmp_path / "pred.csv")
+
+    _stream([ckpt, "--input", fin, "--output", fout])
+    got = np.loadtxt(fout, delimiter=",")
+    want = np.asarray(
+        stacked_lstm_apply(dequantize_params(q), jnp.asarray(frames)[None])
+    )[0, :, 0]
+    np.testing.assert_allclose(got, want, atol=1e-5)
