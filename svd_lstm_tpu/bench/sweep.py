@@ -91,7 +91,16 @@ def rank_sweep(
     if max_reductions is not None:
         order = order[:max_reductions]
 
-    forward = jax.jit(lambda p, xx: stacked_lstm_apply(p, xx, return_sequences=True))
+    # conv hybrids sweep too: get_model_singular_values /
+    # set_model_matrix_rank operate on .layers, which ConvLSTMParams also
+    # carries (the conv kernel is not a gate block, so it never appears in
+    # the σ ordering); only the forward needs the family dispatch
+    apply_fn = stacked_lstm_apply
+    if hasattr(params, "conv"):
+        from svd_lstm_tpu.models.conv import conv_lstm_apply
+
+        apply_fn = conv_lstm_apply
+    forward = jax.jit(lambda p, xx: apply_fn(p, xx, return_sequences=True))
     X = jnp.asarray(X, jnp.float32)
 
     # current rank of each (layer, W/U, gate) block

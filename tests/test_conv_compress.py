@@ -369,6 +369,26 @@ class TestHybridTooling:
             )
 
 
+class TestHybridRankSweep:
+    def test_sweep_runs_on_hybrid(self, hybrid):
+        """The H3 rank sweep works over the hybrid's LSTM stack (the conv
+        kernel is not a gate block, so it never enters the σ ordering)."""
+        from svd_lstm_tpu.config import SweepConfig
+        from svd_lstm_tpu.bench.sweep import rank_sweep
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(1, 40, 1)).astype(np.float32)
+        y = rng.normal(size=(40,)).astype(np.float32)
+        ident = type("I", (), {"inverse_transform": staticmethod(lambda a: a)})()
+        res = rank_sweep(
+            hybrid, X, y, ident.inverse_transform,
+            cfg=SweepConfig(evaluate_every=4), max_reductions=12,
+        )
+        assert res.rmse_ratio[0] == pytest.approx(1.0)
+        assert res.reductions_done > 0
+        assert (np.diff(res.weights_eliminated) >= 0).all()
+
+
 class TestHybridPruning:
     def test_prune_and_sparsity(self, hybrid):
         from svd_lstm_tpu.factor.prune_magnitude import prune_sigmas, sigma_sparsity
