@@ -257,6 +257,61 @@ class TestHybridExportNative:
             ref = np.asarray(apply_fn(oracle, jnp.asarray(frames[None])))[0, :, 0]
             np.testing.assert_allclose(got, ref, atol=2e-4)
 
+    def test_native_merged_hybrid_parity(self, hybrid, tmp_path):
+        """Merged-kernel conv-reduced hybrid through the native runtime
+        (conv front end + 'm'-kind layers), CSV and int8-v3."""
+        from svd_lstm_tpu.io.int8_export import dequantized_params, save_model_int8_bin
+        from svd_lstm_tpu.io.native import NativeModel, save_reduced_weights_as_csv
+
+        cs = make_conv_singular_model(hybrid, merged_kernel=True)
+        cr = make_conv_reduced_model(cs, cutoff=None, rank=12)
+        frames = self._frames()
+        d = str(tmp_path / "export_merged")
+        save_reduced_weights_as_csv(cr, d)
+        got = NativeModel.from_export_dir(d).run(frames)
+        ref = np.asarray(conv_reduced_apply(cr, jnp.asarray(frames[None])))[0, :, 0]
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
+        p = str(tmp_path / "merged.i8bin")
+        save_model_int8_bin(cr, p)
+        got8 = NativeModel.from_int8(p).run(frames)
+        oracle = jax.tree.map(jnp.asarray, dequantized_params(cr))
+        ref8 = np.asarray(conv_reduced_apply(oracle, jnp.asarray(frames[None])))[0, :, 0]
+        np.testing.assert_allclose(got8, ref8, atol=2e-4)
+
+    def test_int8_v3_truncated_conv_section_refuses_load(self, hybrid, tmp_path):
+        """A v3 artifact truncated inside the conv section must fail the
+        native load, never hand back a handle over partial weights."""
+        from svd_lstm_tpu.io.int8_export import save_model_int8_bin
+        from svd_lstm_tpu.io.native import NativeModel
+
+        p = tmp_path / "hybrid.i8bin"
+        save_model_int8_bin(hybrid, str(p))
+        blob = p.read_bytes()
+        # magic(8) + version(4) + n_layers(4) + has_conv(1) + k,c_in(8) = 25:
+        # cut mid-way through the conv qmat
+        trunc = tmp_path / "trunc.i8bin"
+        trunc.write_bytes(blob[:40])
+        with pytest.raises(RuntimeError):
+            NativeModel.from_int8(str(trunc))
+
+    def test_conv_csv_loader_validates_shape(self, hybrid, tmp_path):
+        """load_conv_front_csv cross-checks w.csv rows against shape.csv."""
+        import os
+
+        from svd_lstm_tpu.io.csv_weights import (
+            load_conv_front_csv,
+            save_model_weights_as_csv,
+        )
+
+        d = str(tmp_path / "export")
+        save_model_weights_as_csv(hybrid, d)
+        np.savetxt(
+            os.path.join(d, "conv", "shape.csv"), np.array([[3, 2]]), delimiter=","
+        )
+        with pytest.raises(ValueError, match="shape.csv"):
+            load_conv_front_csv(d)
+
     def test_conv_filter_mismatch_refuses_load(self, hybrid, tmp_path):
         from svd_lstm_tpu.io.csv_weights import save_model_weights_as_csv
         from svd_lstm_tpu.io.native import NativeModel
