@@ -221,17 +221,27 @@ struct Model {
   float head_b = 0.0f;
 };
 
-// Does the exact two-step pay for this side's ranks? Measured crossover
-// on this runtime (BENCH_NOTES §native, 4x40/4x30): r/n = 0.4 steps at
-// 0.92x dense, r/n = 0.5 at 1.18x, r/n = 0.625 at 1.41x — the FLOP
-// saving is eaten by irregular small GEMVs well before r = n. Keep the
-// factored path only below r/n ~ 0.45. groups: 4 split / 1 merged — the
-// same total-rank-vs-total-width rule covers both (a merged B's columns
-// span all four gates).
+// Does the exact two-step pay for this side's ranks? FLOP-aware rule:
+// per group the two-step costs r·(m + gw − r) MACs vs m·gw dense
+// (slide-9 accounting), and the measured crossover on this runtime
+// (BENCH_NOTES §native, 4x40/4x30: r/n = 0.4 steps at 0.92x, 0.5 at
+// 1.18x, 0.625 at 1.41x on the square U side) puts the overhead of the
+// irregular small GEMVs at ~30% of dense — keep the factored path only
+// when it saves at least that. Unlike the earlier rank-ratio rule
+// (sum r/(4n) < 0.45), this accounts for the input width m: a W side
+// with m ≪ n (e.g. the 16-wide DROPBEAR frames into 40 units) is already
+// cheap dense, and its full-rank "reduction" (r = m) saves zero FLOPs —
+// measured 1.12x at 4x40 r=25 under the old rule, 1.0 dispatched here.
+// groups: 4 split (group width n) / 1 merged (one group spanning 4n).
 bool two_step_pays(const FlatMat* B, int groups, int n) {
-  int sum_r = 0;
-  for (int g = 0; g < groups; ++g) sum_r += B[g].cols;
-  return sum_r * 20 < 9 * 4 * n;  // sum(r_g)/(4n) < 0.45
+  const int gw = (groups == 1) ? 4 * n : n;
+  long two = 0, dense = 0;
+  for (int g = 0; g < groups; ++g) {
+    const long r = B[g].cols, m = B[g].rows;
+    two += r * (m + gw - r);
+    dense += m * static_cast<long>(gw);
+  }
+  return two * 10 < dense * 7;  // two-step < 70% of dense MACs
 }
 
 // Dense gate matrix from the two-step factors: D = [B | B·C] (rows x n),
