@@ -52,6 +52,7 @@ SKIP = set(filter(None, os.environ.get("BENCH_SKIP", "").split(",")))
 TRAIN_T = int(os.environ.get("BENCH_TRAIN_T", 200))     # BPTT window length
 TRAIN_B = int(os.environ.get("BENCH_TRAIN_B", 32))      # reference batch
 TRAIN_B_BIG = int(os.environ.get("BENCH_TRAIN_B_BIG", 512))
+WIDE_TRAIN_B = int(os.environ.get("BENCH_WIDE_TRAIN_B", 128))
 NUM_WINDOWS = 20_000                                    # reference epoch size
 V5E_BF16_FLOPS = 197e12                                 # v5e peak, bf16
 
@@ -355,6 +356,31 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
         )
         log(f"[train] B={B}: {entry}")
         out[f"B{B}"] = entry
+
+    # the wide 3×512 train step (VERDICT r2 next #2's second half): same
+    # three paths at the BASELINE stretch width, B=128/T=200. The kernel
+    # path is the scan-over-stacked-weights form (one kernel instance per
+    # direction — the Mosaic-crash workaround, BENCH_NOTES §wide-step).
+    wunits = tuple(int(u) for u in WIDE_UNITS)
+    wparams = init_stacked_lstm(jax.random.PRNGKey(4), INPUT_DIM, wunits)
+    ws0 = opt.init(wparams)
+    xw = jnp.asarray(
+        rng.normal(size=(WIDE_TRAIN_B, TRAIN_T, INPUT_DIM)), jnp.float32
+    )
+    yw = jnp.asarray(rng.normal(size=(WIDE_TRAIN_B,)), jnp.float32)
+    wide = {"config": f"{'x'.join(map(str, wunits))} B={WIDE_TRAIN_B} T={TRAIN_T}"}
+    for name, step in [
+        ("f32_scan", mk_step(stacked_lstm_apply, opt)),
+        ("bf16_scan", mk_step(stacked_lstm_apply, opt, scope="bfloat16")),
+        ("fused_kernel", mk_step(kernel_apply, opt)),
+    ]:
+        ms = device_time_ms(step, wparams, ws0, xw, yw)
+        wide[name + "_ms"] = round(ms, 4)
+    wide["kernel_speedup_vs_f32"] = round(
+        wide["f32_scan_ms"] / wide["fused_kernel_ms"], 3
+    )
+    log(f"[train] wide {wide['config']}: {wide}")
+    out["wide"] = wide
 
     # the singular fine-tune step (σ-only masked adam + Hoyer)
     fcfg = FactorConfig(hoyer=0.01)

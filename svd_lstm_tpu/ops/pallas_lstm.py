@@ -201,8 +201,15 @@ def lstm_recurrence_pallas(
     interpret: bool = False,
     unroll: int = DEFAULT_UNROLL,
     dot_precision=None,
+    weights_bf16: bool = False,
 ) -> jax.Array:
-    """Dense h-side recurrence; returns h_seq (T, n)."""
+    """Dense h-side recurrence; returns h_seq (T, n).
+
+    ``weights_bf16=True`` stores U in VMEM as bfloat16 and runs the h-dot
+    as a native single-pass bf16×bf16 MXU op (f32 accumulate) — halves the
+    per-step weight-read volume, which dominates at wide n where U is
+    megabytes (4 MB f32 at n=512). Numerics are the fast-mode class (the
+    operands round to bf16 either way); only useful with relaxed dots."""
     T, g4 = xp.shape
     n = U.shape[0]
     assert g4 == 4 * n
@@ -214,6 +221,8 @@ def lstm_recurrence_pallas(
     # kernel is VMEM-bandwidth-bound on weight streaming, and row padding
     # was a measured 1.7× loss; h is sliced to its live n lanes instead.
     U_p = pad_gate_cols(U, n, npg)
+    if weights_bf16:
+        U_p = U_p.astype(jnp.bfloat16)
     h0_p = _pad_state(h0, n, npg)
     c0_p = _pad_state(c0, n, npg)
     CT = min(ct, _ceil_to(T, 8))
@@ -225,7 +234,10 @@ def lstm_recurrence_pallas(
             c_scr[:] = c0_ref[:]
 
         def step(t):
-            z = xp_ref[pl.ds(t, 1), :] + _dot(h_scr[:, :n], u_ref[:], prec)
+            h_in = h_scr[:, :n]
+            if weights_bf16:
+                h_in = h_in.astype(jnp.bfloat16)
+            z = xp_ref[pl.ds(t, 1), :] + _dot(h_in, u_ref[:], prec)
             h, c = _gates_p(z, c_scr[:], npg)
             h_scr[:] = h
             c_scr[:] = c
@@ -589,12 +601,15 @@ def fused_reduced_stack_pallas(
 # jitted convenience wrappers (hybrid XLA-matmul + pallas-recurrence paths)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("interpret", "dot_precision"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "dot_precision", "weights_bf16")
+)
 def dense_forward_hybrid(
     params: StackedLSTMParams,
     x: jax.Array,
     interpret: bool = False,
     dot_precision=None,
+    weights_bf16: bool = False,
 ) -> jax.Array:
     """Per-layer hybrid: XLA big MXU matmul for every layer's input
     projection, Pallas kernel for its recurrence. x: (T, d) -> y: (T, out).
@@ -603,13 +618,19 @@ def dense_forward_hybrid(
     in-kernel dots to single-pass bf16 multiplies (f32 accumulate) — the
     batch-1 fast mode. At 3×512/T=6656 this makes the hybrid the best
     dense path (10.2 ms vs the f32 scan's 13.9; the f32-forced hybrid is
-    46 ms — see scripts/probe_wide_default_precision.py)."""
+    46 ms — see scripts/probe_wide_default_precision.py).
+
+    ``weights_bf16=True`` additionally stores each layer's U in VMEM as
+    bfloat16 (see :func:`lstm_recurrence_pallas`) — the wide dense
+    recurrence is weight-read-bound and the dots already round operands
+    to bf16 under relaxed precision."""
     prec = _resolve_dot_precision(dot_precision)
     h = x
     for l in params.layers:
         xp = jnp.dot(h, l.W, precision=prec) + l.b  # (T, 4n) — one MXU matmul
         h = lstm_recurrence_pallas(
-            xp, l.U, interpret=interpret, dot_precision=dot_precision
+            xp, l.U, interpret=interpret, dot_precision=dot_precision,
+            weights_bf16=weights_bf16,
         )
     return h @ params.head.w + params.head.b
 

@@ -89,6 +89,19 @@ class TestFusedStacks:
         ours = np.asarray(dense_forward_hybrid(dense_model, x_run, interpret=True))
         np.testing.assert_allclose(ours, ref, atol=2e-5)
 
+    def test_hybrid_dense_bf16_weights(self, dense_model, x_run):
+        """bf16-stored U (the wide weight-read-bound optimization) stays in
+        the fast-mode accuracy class."""
+        ref = np.asarray(stacked_lstm_apply(dense_model, x_run[None]))[0]
+        ours = np.asarray(
+            dense_forward_hybrid(
+                dense_model, x_run, interpret=True,
+                dot_precision="default", weights_bf16=True,
+            )
+        )
+        rel = np.linalg.norm(ours - ref) / np.linalg.norm(ref)
+        assert rel < 0.02, rel
+
     @pytest.mark.parametrize("merged", [True, False])
     def test_fused_reduced_matches_scan(self, dense_model, x_run, merged):
         rmodel = make_reduced_model(

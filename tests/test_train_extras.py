@@ -84,6 +84,9 @@ def test_bench_cpu_smoke():
         # train engine runs the Pallas kernels in interpret mode on CPU —
         # keep the BPTT windows tiny so the smoke stays fast
         BENCH_TRAIN_T="12", BENCH_TRAIN_B="8", BENCH_TRAIN_B_BIG="16",
+        # the wide sections (inference + train step) likewise shrink: the
+        # wide-train fused path would otherwise interpret 3x512 kernels
+        BENCH_WIDE_UNITS="8,8", BENCH_WIDE_RANK="5", BENCH_WIDE_TRAIN_B="8",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
