@@ -32,6 +32,12 @@ def main():
                     help="two-step rank per gate block after fine-tuning")
     ap.add_argument("--out", default="./model_saves")
     ap.add_argument("--hoyer", type=float, default=0.01)
+    ap.add_argument(
+        "--recover-epochs", type=int, default=0,
+        help="post-truncation recovery fine-tune: retrain the two-step "
+        "factors directly for N epochs (train/finetune.finetune_reduced — "
+        "beyond-reference: the reference's reduced cell is frozen)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -107,6 +113,21 @@ def main():
 
     # -- truncate to the exact two-step reduced hybrid ---------------------
     cr = st.make_conv_reduced_model(cs, cutoff=None, rank=args.rank)
+
+    if args.recover_epochs:
+        from svd_lstm_tpu.train.finetune import finetune_reduced
+
+        pred_pre = predict_full_run(cr, ds.X, apply_fn=conv_reduced_apply)
+        print(f"reduced pre-recovery: RMSE {rmse_mm(pred_pre):.3f} mm")
+        rres = finetune_reduced(
+            cr, ds.X_train, ds.y_train,
+            train_cfg=TrainConfig(num_windows=tcfg.num_windows,
+                                  window_len=tcfg.window_len,
+                                  batch_size=tcfg.batch_size,
+                                  epochs=args.recover_epochs),
+        )
+        cr = rres.params
+
     pred_red = predict_full_run(cr, ds.X, apply_fn=conv_reduced_apply)
     n_red = cr.weight_count()
     print(f"reduced hybrid (rank {args.rank}): RMSE {rmse_mm(pred_red):.3f} "

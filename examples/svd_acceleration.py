@@ -45,6 +45,16 @@ def main():
         "scale — BENCH_NOTES §train)",
     )
     ap.add_argument(
+        "--recover-epochs", type=int, default=0,
+        help="post-truncation recovery fine-tune: retrain the two-step "
+        "factors (B, C, bias, head) directly for N epochs, recovering "
+        "accuracy the cutoff destroyed while keeping the compressed "
+        "parameterization (train/finetune.finetune_reduced; with --kernel "
+        "it runs through the fused Pallas engine via ops/reduced_train.py "
+        "— beyond-reference: the reference's reduced cell is frozen, "
+        "code/svd_classes_v3.py:249-315)",
+    )
+    ap.add_argument(
         "--qat-epochs", type=int, default=0,
         help="after truncation, fine-tune the reduced model THROUGH the "
         "int8 grid for N epochs (utils/quantize.qat_apply) so the exported "
@@ -115,6 +125,17 @@ def main():
         print(f"layer {li}: {below}/{su.size} recurrent σ below cutoff")
 
     rmodel = st.make_reduced_model(smodel, cutoff=fcfg.cutoff)
+
+    if args.recover_epochs:
+        import dataclasses
+
+        from svd_lstm_tpu.train.finetune import finetune_reduced
+
+        print("recovery fine-tune of the truncated model (B/C factors)...")
+        rcfg = dataclasses.replace(ft_cfg, epochs=args.recover_epochs)
+        rmodel = finetune_reduced(
+            rmodel, ds.X_train, ds.y_train, train_cfg=rcfg, verbose=True
+        ).params
 
     if args.qat_epochs:
         import dataclasses

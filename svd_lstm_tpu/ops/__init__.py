@@ -6,6 +6,9 @@
 * pallas_train / pallas_train_fused — custom-VJP trainable kernel pairs
 * singular_train — the SVD fine-tune through the same kernels via a
   differentiable dense reconstruction (exact chain-rule factor gradients)
+* reduced_train — the post-truncation recovery fine-tune through the same
+  kernels via the exact two-step dense view (beyond-reference: the
+  reference's reduced cell is frozen)
 * layouts — storage-vs-execution layout transforms for reduced models
 """
 
@@ -32,6 +35,10 @@ from svd_lstm_tpu.ops.pallas_train import (
     stacked_lstm_apply_fast_train,
 )
 from svd_lstm_tpu.ops.pallas_train_fused import fused_narrow_train_apply
+from svd_lstm_tpu.ops.reduced_train import (
+    reduced_dense_view,
+    reduced_lstm_apply_fast_train,
+)
 from svd_lstm_tpu.ops.singular_train import (
     singular_dense_view,
     singular_lstm_apply_fast_train,

@@ -184,6 +184,54 @@ def finetune(
     )
 
 
+def finetune_reduced(
+    rparams,
+    X_train,
+    y_train,
+    train_cfg: TrainConfig | None = None,
+    verbose: bool = False,
+    init_opt_state=None,
+    windows: tuple | None = None,
+    validation: tuple | None = None,
+) -> TrainResult:
+    """Post-truncation recovery fine-tune (beyond-reference).
+
+    The reference's reduced cell is inference-only — every weight
+    ``trainable=False`` (code/svd_classes_v3.py:249-315) — so whatever
+    accuracy the σ-cutoff destroyed stays destroyed. Here the two-step
+    factors (B, C), biases and head are ordinary parameters: retraining
+    them directly recovers accuracy while *preserving the compressed
+    parameterization* — the recovered model streams through the same
+    folded kernels, CSV/int8 exports and the native consumer unchanged.
+
+    Accepts ``ReducedModelParams`` or the conv hybrid
+    ``ConvReducedParams`` (family dispatch, like ``finetune``). With
+    ``TrainConfig.recurrence_kernel=True`` the pure-LSTM family trains
+    through the fused Pallas engine via the differentiable dense view
+    (ops/reduced_train.py); conv hybrids keep the XLA scan.
+    """
+    from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+
+    if train_cfg is None:
+        train_cfg = TrainConfig()
+    apply_fn = reduced_lstm_apply
+    if hasattr(rparams, "inner"):  # ConvReducedParams
+        from svd_lstm_tpu.models.conv import conv_reduced_apply
+
+        apply_fn = conv_reduced_apply
+    return fit(
+        rparams,
+        X_train,
+        y_train,
+        cfg=train_cfg,
+        apply_fn=apply_fn,
+        verbose=verbose,
+        init_opt_state=init_opt_state,
+        windows=windows,
+        validation=validation,
+    )
+
+
 def harvest_sigmas(sparams):
     """Snapshot every layer's (σ_w, σ_u) — the reference collects these after
     fine-tuning (code/svd_acceleration_v3.py:129-132). Accepts the conv

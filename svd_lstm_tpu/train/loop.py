@@ -163,9 +163,10 @@ def resolve_train_apply_fn(cfg: TrainConfig, apply_fn: Callable):
     ``parallel.fit_dp`` (ONE definition — the two loops cannot drift).
     Returns ``(apply_fn, using_kernel)``.
 
-    * ``cfg.recurrence_kernel``: the dense scan and the σ fine-tune swap
-      to the custom-VJP Pallas training engine (ops/pallas_train.py /
-      ops/singular_train.py; dots are DEFAULT-precision, like
+    * ``cfg.recurrence_kernel``: the dense scan, the σ fine-tune and the
+      post-truncation recovery fine-tune swap to the custom-VJP Pallas
+      training engine (ops/pallas_train.py / ops/singular_train.py /
+      ops/reduced_train.py; dots are DEFAULT-precision, like
       matmul_precision="bfloat16"; off-TPU the kernels run in interpret
       mode so the flag stays testable on the CI CPU mesh). Dropout
       wrappers and custom applies keep their scan — the kernels have no
@@ -179,6 +180,7 @@ def resolve_train_apply_fn(cfg: TrainConfig, apply_fn: Callable):
       training without remat (and then OOMing exactly as if the knob
       were ignored).
     """
+    from svd_lstm_tpu.models.reduced import reduced_lstm_apply
     from svd_lstm_tpu.models.singular import singular_lstm_apply
 
     if cfg.recurrence_kernel:
@@ -199,6 +201,15 @@ def resolve_train_apply_fn(cfg: TrainConfig, apply_fn: Callable):
 
             return (
                 partial(singular_lstm_apply_fast_train, interpret=interpret),
+                True,
+            )
+        if apply_fn is reduced_lstm_apply:
+            from svd_lstm_tpu.ops.reduced_train import (
+                reduced_lstm_apply_fast_train,
+            )
+
+            return (
+                partial(reduced_lstm_apply_fast_train, interpret=interpret),
                 True,
             )
     if cfg.remat_chunk:
