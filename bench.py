@@ -405,6 +405,31 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
     )
     log(f"[train] singular finetune B={TRAIN_B}: {ft}")
     out["singular_finetune"] = ft
+
+    # the post-truncation recovery fine-tune step (beyond-reference: the
+    # reference's reduced cell is frozen, code/svd_classes_v3.py:249-315).
+    # Same operating point as reference_scale: 4x40 split r=25.
+    from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+    from svd_lstm_tpu.ops.reduced_train import reduced_lstm_apply_fast_train
+
+    rmodel = st.make_reduced_model(sparams, cutoff=None, rank=25)
+    ropt = optax.adam(1e-3)
+    rs0 = ropt.init(rmodel)
+    ker_rec = lambda p, xx, return_sequences: reduced_lstm_apply_fast_train(  # noqa: E731
+        p, xx, return_sequences=return_sequences, interpret=interpret
+    )
+    rec = {}
+    for name, step in [
+        ("f32_scan", mk_step(reduced_lstm_apply, ropt)),
+        ("fused_kernel", mk_step(ker_rec, ropt)),
+    ]:
+        ms = device_time_ms(step, rmodel, rs0, x, y)
+        rec[name + "_ms"] = round(ms, 4)
+    rec["kernel_speedup_vs_f32"] = round(
+        rec["f32_scan_ms"] / rec["fused_kernel_ms"], 3
+    )
+    log(f"[train] reduced recovery B={TRAIN_B}: {rec}")
+    out["reduced_recover"] = rec
     return out
 
 
