@@ -90,9 +90,18 @@ def main():
     )
     print(f"singular dp-finetune: loss {fres.history[-1]:.4f}")
 
-    # stage 3: truncate and predict
+    # stage 3: truncate, dp recovery fine-tune (beyond-reference: the
+    # reference's reduced cell is frozen, code/svd_classes_v3.py:249-315),
+    # then predict
     rmodel = st.make_reduced_model(fres.params, cutoff=0.05)
     from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+    from svd_lstm_tpu.parallel.fit import finetune_reduced_dp
+
+    rres = finetune_reduced_dp(rmodel, ds.X_train, ds.y_train, mesh,
+                               train_cfg=cfg)
+    rmodel = rres.params
+    print(f"reduced dp-recovery: loss {rres.history[0]:.4f} -> "
+          f"{rres.history[-1]:.4f}")
 
     pred = predict_full_run(rmodel, ds.X_test, apply_fn=reduced_lstm_apply)
     print(f"reduced prediction finite: {np.isfinite(pred).all()}  "

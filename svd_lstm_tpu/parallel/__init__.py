@@ -1,5 +1,5 @@
 from svd_lstm_tpu.parallel.mesh import make_mesh
-from svd_lstm_tpu.parallel.fit import finetune_dp, fit_dp
+from svd_lstm_tpu.parallel.fit import finetune_dp, finetune_reduced_dp, fit_dp
 from svd_lstm_tpu.parallel.pipeline import make_pipeline_inference
 from svd_lstm_tpu.parallel.train import (
     make_sharded_train_step,

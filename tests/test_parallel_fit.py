@@ -172,3 +172,55 @@ def test_finetune_dp_conv_hybrid_matches_single_device(data):
     np.testing.assert_array_equal(
         np.asarray(r_dp.params.conv.w), np.asarray(cs.conv.w)
     )
+
+
+def test_finetune_reduced_dp_matches_single_device(data):
+    """The dp recovery fine-tune (beyond-reference: the reference's
+    reduced cell is frozen, code/svd_classes_v3.py:249-315) reproduces
+    the single-device finetune_reduced loop, including through the
+    Pallas training engine (recurrence_kernel=True, interpret on CPU)."""
+    from svd_lstm_tpu.factor.svd import make_reduced_model
+    from svd_lstm_tpu.parallel.fit import finetune_reduced_dp
+    from svd_lstm_tpu.train.finetune import finetune_reduced
+
+    X, y = data
+    dense = init_stacked_lstm(jax.random.PRNGKey(6), input_dim=6, units=(8, 8))
+    rparams = make_reduced_model(make_singular_model(dense), rank=6)
+    mesh = make_mesh(dp=8, tp=1)
+
+    for kernel in (False, True):
+        tcfg = TrainConfig(**CFG, recurrence_kernel=kernel)
+        r_one = finetune_reduced(rparams, X, y, train_cfg=tcfg)
+        r_dp = finetune_reduced_dp(rparams, X, y, mesh, train_cfg=tcfg)
+        np.testing.assert_allclose(r_dp.history, r_one.history, rtol=1e-4)
+        for a, b in zip(
+            jax.tree.leaves(r_dp.params), jax.tree.leaves(r_one.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_finetune_reduced_dp_conv_hybrid(data):
+    """Family dispatch: the conv-hybrid reduced model trains through the
+    dp recovery loop (XLA scan — no training kernel exists for hybrids)."""
+    from svd_lstm_tpu.factor.svd import (
+        make_conv_reduced_model,
+        make_conv_singular_model,
+    )
+    from svd_lstm_tpu.models.conv import init_conv_lstm
+    from svd_lstm_tpu.parallel.fit import finetune_reduced_dp
+    from svd_lstm_tpu.train.finetune import finetune_reduced
+
+    X, y = data
+    hybrid = init_conv_lstm(
+        jax.random.PRNGKey(7), in_channels=6, filters=8, kernel_size=5,
+        units=(8,),
+    )
+    cr = make_conv_reduced_model(make_conv_singular_model(hybrid), rank=6)
+    mesh = make_mesh(dp=8, tp=1)
+    tcfg = TrainConfig(**CFG)
+
+    r_one = finetune_reduced(cr, X, y, train_cfg=tcfg)
+    r_dp = finetune_reduced_dp(cr, X, y, mesh, train_cfg=tcfg)
+    np.testing.assert_allclose(r_dp.history, r_one.history, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(r_dp.params), jax.tree.leaves(r_one.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
