@@ -406,6 +406,26 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
     log(f"[train] singular finetune B={TRAIN_B}: {ft}")
     out["singular_finetune"] = ft
 
+    # large-batch fine-tune past the B>=512 reconstruction-fed compiler
+    # cliff: the kernel runs over independent 256-row chunks
+    # (ops/singular_train.chunked_fast_train, probe_finetune_b512_chunk.py)
+    xb = jnp.asarray(
+        rng.normal(size=(TRAIN_B_BIG, TRAIN_T, INPUT_DIM)), jnp.float32
+    )
+    yb = jnp.asarray(rng.normal(size=(TRAIN_B_BIG,)), jnp.float32)
+    ftb = {}
+    for name, step in [
+        ("f32_scan", mk_step(singular_lstm_apply, fopt, extra=reg)),
+        ("chunked_kernel", mk_step(ker_ft, fopt, extra=reg)),
+    ]:
+        ms = device_time_ms(step, sparams, fs0, xb, yb)
+        ftb[name + "_ms"] = round(ms, 4)
+    ftb["kernel_speedup_vs_f32"] = round(
+        ftb["f32_scan_ms"] / ftb["chunked_kernel_ms"], 3
+    )
+    log(f"[train] singular finetune B={TRAIN_B_BIG} (chunked): {ftb}")
+    out["singular_finetune_big"] = ftb
+
     # the post-truncation recovery fine-tune step (beyond-reference: the
     # reference's reduced cell is frozen, code/svd_classes_v3.py:249-315).
     # Same operating point as reference_scale: 4x40 split r=25.

@@ -50,6 +50,13 @@ from svd_lstm_tpu.ops.pallas_batched import DEFAULT_BT, LANE, _ceil_to
 
 DEF = jax.lax.Precision.DEFAULT
 
+# Batch-chunk size for the narrow fused training kernels: the measured
+# per-sample optimum (8.3 µs/sample at 256 vs 10.6 at 512 whole-batch,
+# scripts/probe_train_dense_chunk.py), and small enough to stay under the
+# remote-compiler cliffs (dense weights crash at B>=1024,
+# reconstruction-fed weights at B>=512 — scripts/probe_finetune_b512_*.py).
+_TRAIN_CHUNK = 256
+
 
 def _fwd_scan_hc(xp, U):
     """XLA scan forward returning (h_seq, c_seq) — the CPU/fallback path
@@ -330,7 +337,35 @@ def stacked_lstm_apply_fast_train(
     """
     units = [l.units for l in params.layers]
     B, _, d_in = x_seq.shape
-    if all(u <= LANE for u in units) and d_in <= LANE and B % 8 == 0:
+    narrow = all(u <= LANE for u in units) and d_in <= LANE
+    if narrow and B > _TRAIN_CHUNK:
+        # independent 256-row chunks (scripts/probe_train_dense_chunk.py +
+        # probe_finetune_b512_chunk.py): 256 is the measured per-sample
+        # optimum (B=512: 4.27-4.30 ms chunked vs 5.42 whole-batch), and
+        # chunks stay under the remote-compiler cliffs (the dense-weight
+        # kernel crashes at B>=1024, the reconstruction-fed one at
+        # B>=512). Rows are independent, so gradients through the concat
+        # are exact and zero-padded rows get zero cotangent.
+        from svd_lstm_tpu.ops.pallas_train_fused import fused_narrow_train_apply
+
+        k = -(-B // _TRAIN_CHUNK)
+        pad = k * _TRAIN_CHUNK - B
+        if pad:
+            x_seq = jnp.concatenate(
+                [x_seq, jnp.zeros((pad,) + x_seq.shape[1:], x_seq.dtype)],
+                axis=0,
+            )
+        outs = [
+            fused_narrow_train_apply(
+                params,
+                x_seq[i * _TRAIN_CHUNK : (i + 1) * _TRAIN_CHUNK],
+                return_sequences=return_sequences,
+                interpret=interpret,
+            )
+            for i in range(k)
+        ]
+        return jnp.concatenate(outs, axis=0)[:B]
+    if narrow and B % 8 == 0:
         # narrow stack (the reference's own scale): ONE fused kernel per
         # direction for the whole model — 5.42 ms/step vs the 7.65 bf16 /
         # 9.32 f32 XLA scans at 4x40/B=512/T=200

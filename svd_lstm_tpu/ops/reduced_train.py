@@ -96,19 +96,14 @@ def reduced_lstm_apply_fast_train(
     Gradient parity with autodiff of ``reduced_lstm_apply`` is asserted in
     tests/test_reduced_train.py.
     """
-    dense = reduced_dense_view(rparams)
-    if x_seq.shape[0] > 128:
-        # same measured remote-compiler crash regime as the singular path
-        # (reconstruction matmuls + fused fwd/bwd pair at B=512 —
-        # ops/singular_train.py module docstring); large batches fall back
-        # to the exact XLA scan over the reconstructed model.
-        from svd_lstm_tpu.models.lstm import stacked_lstm_apply
+    # same measured remote-compiler cliff as the singular path (B >= 512
+    # crashes, 256-row chunks are the per-sample optimum —
+    # ops/singular_train.py module docstring), so large batches run the
+    # kernel over independent chunks instead of falling back to the scan.
+    from svd_lstm_tpu.ops.singular_train import chunked_fast_train
 
-        return stacked_lstm_apply(dense, x_seq, return_sequences)
-    from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
-
-    return stacked_lstm_apply_fast_train(
-        dense,
+    return chunked_fast_train(
+        reduced_dense_view(rparams),
         x_seq,
         return_sequences=return_sequences,
         interpret=interpret,

@@ -39,11 +39,16 @@ Dropout fine-tunes keep the XLA scan: the per-gate mask semantics
 Measured (scripts/probe_singular_finetune_kernel.py, v5e, 4x40/T=200,
 full fine-tune step incl. Hoyer + masked adam): **0.448 ms/step vs the
 f32 scan's 4.726 and the bf16 scan's 3.317 at B=32** (the reference's
-finetune_batch_size) — 10.5×. Known limit of this Mosaic toolchain: at
-B=512 the (differentiated reconstruction matmuls + fused fwd/bwd kernel
-pair) program crashes the remote compiler (HTTP 500, same family as the
-crash mode documented in ops/pallas_train.py); the reference workflow's
-B=32 regime is unaffected.
+finetune_batch_size) — 10.5×. Known limit of this Mosaic toolchain: for
+B >= 512 the (differentiated reconstruction matmuls + fused fwd/bwd
+kernel pair) program crashes the remote compiler for EVERY batch size
+(HTTP 500, same family as the crash mode documented in
+ops/pallas_train.py; measured OK through B=496,
+scripts/probe_finetune_b512_{fix,pad}.py). Large batches therefore run
+the kernel over independent 256-row chunks — 256 is also the measured
+per-sample sweet spot (8.3 µs/sample vs 10.7 at 496), so the chunked
+step at B=512 (4.30 ms) beats even the whole-batch dense-weight kernel
+(5.42 ms) and the bf16 scan (13.4 ms) — probe_finetune_b512_chunk.py.
 """
 
 from __future__ import annotations
@@ -55,6 +60,36 @@ from svd_lstm_tpu.models.lstm import LSTMLayerParams, StackedLSTMParams
 from svd_lstm_tpu.models.singular import SingularModelParams
 
 HIGHEST = jax.lax.Precision.HIGHEST
+
+def chunked_fast_train(
+    dense: StackedLSTMParams,
+    x_seq: jax.Array,
+    return_sequences: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused-kernel training forward over a *reconstructed* dense view.
+
+    Narrow stacks route to ``stacked_lstm_apply_fast_train``, whose
+    dispatch batch-chunks B > 256 into independent 256-row kernel
+    instances — the measured per-sample optimum AND the fix for the
+    B >= 512 reconstruction-fed compiler cliff (module docstring; chunk
+    gradients are exact, pad rows get zero cotangent). Non-narrow
+    (>128-unit) stacks above B=128 keep the exact XLA scan: the chunking
+    evidence only covers the narrow fused kernels, and wide
+    reconstruction-fed programs have their own unmapped crash modes.
+    """
+    from svd_lstm_tpu.ops.pallas_train import LANE, stacked_lstm_apply_fast_train
+
+    narrow = (
+        all(l.units <= LANE for l in dense.layers) and x_seq.shape[-1] <= LANE
+    )
+    if not narrow and x_seq.shape[0] > 128:
+        from svd_lstm_tpu.models.lstm import stacked_lstm_apply
+
+        return stacked_lstm_apply(dense, x_seq, return_sequences)
+    return stacked_lstm_apply_fast_train(
+        dense, x_seq, return_sequences=return_sequences, interpret=interpret
+    )
 
 
 def _dense_matrix(left, sigma, right):
@@ -110,19 +145,8 @@ def singular_lstm_apply_fast_train(
     with autodiff of ``singular_lstm_apply`` is asserted in
     tests/test_singular_train_kernel.py.
     """
-    dense = singular_dense_view(sparams)
-    if x_seq.shape[0] > 128:
-        # measured remote-compiler crash at B=512 (differentiated
-        # reconstruction matmuls + fused fwd/bwd kernel pair — module
-        # docstring); the reference fine-tune runs B=32. Large batches
-        # fall back to the exact XLA scan over the reconstructed model.
-        from svd_lstm_tpu.models.lstm import stacked_lstm_apply
-
-        return stacked_lstm_apply(dense, x_seq, return_sequences)
-    from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
-
-    return stacked_lstm_apply_fast_train(
-        dense,
+    return chunked_fast_train(
+        singular_dense_view(sparams),
         x_seq,
         return_sequences=return_sequences,
         interpret=interpret,

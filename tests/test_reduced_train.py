@@ -237,11 +237,13 @@ def test_recover_conv_hybrid_runs(rng):
     assert jax.tree_util.tree_structure(res.params) == jax.tree_util.tree_structure(ch_r)
 
 
-def test_large_batch_falls_back_to_scan(rng):
-    """B > 128 routes to the exact XLA scan over the reconstructed dense
-    view (same remote-compiler crash regime as ops/singular_train.py)."""
+def test_large_batch_chunks_through_kernel(rng):
+    """B past the measured B>=512 compiler cliff runs the kernel over
+    independent 256-row chunks (ops/singular_train.chunked_fast_train);
+    the chunked forward matches the factored scan exactly, padded rows
+    sliced away."""
     r = _model(False, units=(12,), d=8)
-    x = jnp.asarray(rng.normal(size=(136, 5, 8)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(504, 5, 8)).astype(np.float32))
     y_ref = np.asarray(reduced_lstm_apply(r, x, return_sequences=True))
     y = np.asarray(reduced_lstm_apply_fast_train(r, x, interpret=True))
     np.testing.assert_allclose(y, y_ref, atol=1e-5)

@@ -140,15 +140,60 @@ def test_finetune_kernel_matches_scan_losses(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
-def test_large_batch_falls_back_to_scan(rng):
-    """B > 128 routes to the exact XLA scan over the reconstructed dense
-    view (measured remote-compiler crash regime — ops/singular_train.py
-    docstring) and still matches the factored forward."""
+def test_large_batch_chunks_through_kernel(rng):
+    """B past the measured B>=512 compiler cliff runs the kernel over
+    independent 256-row chunks with zero-padding on the last chunk
+    (chunked_fast_train, ops/singular_train.py docstring) and still
+    matches the factored forward exactly."""
     s = _model(False, units=(12,), d=8)
-    x = jnp.asarray(rng.normal(size=(136, 5, 8)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(504, 5, 8)).astype(np.float32))
     y_ref = np.asarray(singular_lstm_apply(s, x, return_sequences=True))
     y = np.asarray(singular_lstm_apply_fast_train(s, x, interpret=True))
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+
+def test_chunked_gradients_exact(rng):
+    """Gradients through the chunked path (B>496, padded last chunk) match
+    autodiff of the factored scan — chunk concatenation and pad rows are
+    gradient-inert."""
+    s = _model(False, units=(12,), d=8)
+    x = jnp.asarray(rng.normal(size=(504, 4, 8)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(504,)).astype(np.float32))
+
+    def loss(fn):
+        def f(p):
+            pred = fn(p, x)[..., 0]
+            return jnp.mean(jnp.square(pred - y))
+
+        return f
+
+    g_ref = jax.grad(loss(
+        lambda p, xx: singular_lstm_apply(p, xx, return_sequences=False)
+    ))(s)
+    g_ker = jax.grad(loss(
+        lambda p, xx: singular_lstm_apply_fast_train(
+            p, xx, return_sequences=False, interpret=True
+        )
+    ))(s)
+    for a, b, path in zip(
+        jax.tree.leaves(g_ker),
+        jax.tree.leaves(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(path[0])}",
+        )
+
+
+def test_wide_large_batch_falls_back_to_scan(rng):
+    """Non-narrow stacks (units > 128) keep the exact-scan fallback above
+    B=128 — the chunking evidence only covers the narrow fused path."""
+    s = _model(False, units=(130,), d=8)
+    x = jnp.asarray(rng.normal(size=(136, 4, 8)).astype(np.float32))
+    y_ref = np.asarray(singular_lstm_apply(s, x, return_sequences=True))
+    y = np.asarray(singular_lstm_apply_fast_train(s, x, interpret=True))
+    np.testing.assert_allclose(y, y_ref, atol=1e-4)
 
 
 def test_wide_singular_routes_through_uniform_kernel_path(rng):
