@@ -78,7 +78,7 @@ def _export(argv):
     ap.add_argument("--int8", action="store_true", help="also dump an int8-quantized npz")
     args = ap.parse_args(argv)
 
-    from svd_lstm_tpu.io.checkpoint import load_params, save_params
+    from svd_lstm_tpu.io.checkpoint import save_params
     from svd_lstm_tpu.io.csv_weights import (
         save_model_weights_as_csv,
         save_model_weights_as_json,
@@ -164,8 +164,6 @@ def _trace(argv):
     from svd_lstm_tpu.bench.trace import format_breakdown, summarize
 
     if args.checkpoint:
-        from svd_lstm_tpu.io.checkpoint import load_params
-
         params = _load_checkpoint_f32(args.checkpoint)
     else:
         from svd_lstm_tpu.models.lstm import init_stacked_lstm
@@ -214,8 +212,6 @@ def _tune(argv):
     from svd_lstm_tpu.bench import autotune as at
 
     if args.checkpoint:
-        from svd_lstm_tpu.io.checkpoint import load_params
-
         params = _load_checkpoint_f32(args.checkpoint)
     else:
         from svd_lstm_tpu.models.lstm import init_stacked_lstm
@@ -329,8 +325,6 @@ def _stream(argv):
             # checkpoint -> temp CSV export -> native load
             import tempfile
 
-            from svd_lstm_tpu.io.checkpoint import load_params
-
             params = _load_checkpoint_f32(args.artifact)
             tmpdir = tempfile.TemporaryDirectory(prefix="svdlstm_stream_")
             # conv hybrids: the exporters accept the wrapper types directly;
@@ -364,7 +358,6 @@ def _stream(argv):
     else:
         import jax.numpy as jnp
 
-        from svd_lstm_tpu.io.checkpoint import load_params
         from svd_lstm_tpu.models.streaming import make_stream_fn
 
         if is_dir_export:

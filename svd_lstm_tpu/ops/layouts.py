@@ -31,31 +31,44 @@ from svd_lstm_tpu.models.reduced import ReducedModelParams, reduced_projection
 from svd_lstm_tpu.ops.pallas_lstm import fold_IC, lstm_recurrence_pallas
 
 
-def reconstruct_recurrent_dense(layer) -> jax.Array:
+def reconstruct_recurrent_dense(layer, precision=None) -> jax.Array:
     """(n, 4n) dense recurrent kernel from (B, C) pairs — exact."""
     if layer.split:
-        blocks = [B @ fold_IC(B, C) for B, C in zip(layer.uB, layer.uC)]
+        blocks = [
+            jnp.dot(B, fold_IC(B, C), precision=precision)
+            for B, C in zip(layer.uB, layer.uC)
+        ]
         return jnp.concatenate(blocks, axis=1)
-    return layer.uB @ fold_IC(layer.uB, layer.uC)
+    return jnp.dot(layer.uB, fold_IC(layer.uB, layer.uC), precision=precision)
 
 
-def reconstruct_dense_model(params: ReducedModelParams):
+def reconstruct_dense_model(params: ReducedModelParams, precision=None):
     """Exact dense StackedLSTMParams from a reduced model (both sides
     reconstructed). The compressed parameterization remains the stored
     form; this is purely an execution layout: at the reference's scale the
     whole forward is latency/bandwidth-bound and dense kernels are the
-    fastest exact evaluation of the truncated model."""
+    fastest exact evaluation of the truncated model.
+
+    ``precision`` pins the reconstruction dots (the differentiable training
+    view passes HIGHEST: the product IS the model's weight matrix, so an
+    ambient bf16 scope must not perturb it); None uses the package default
+    (f32 matmul precision, set at import)."""
     from svd_lstm_tpu.models.lstm import LSTMLayerParams, StackedLSTMParams
 
     layers = []
     for l in params.layers:
         if l.split:
-            Wb = [B @ fold_IC(B, C) for B, C in zip(l.wB, l.wC)]
+            Wb = [
+                jnp.dot(B, fold_IC(B, C), precision=precision)
+                for B, C in zip(l.wB, l.wC)
+            ]
             W = jnp.concatenate(Wb, axis=1)
         else:
-            W = l.wB @ fold_IC(l.wB, l.wC)
+            W = jnp.dot(l.wB, fold_IC(l.wB, l.wC), precision=precision)
         layers.append(
-            LSTMLayerParams(W=W, U=reconstruct_recurrent_dense(l), b=l.b)
+            LSTMLayerParams(
+                W=W, U=reconstruct_recurrent_dense(l, precision), b=l.b
+            )
         )
     return StackedLSTMParams(layers=tuple(layers), head=params.head)
 

@@ -50,12 +50,25 @@ from svd_lstm_tpu.ops.pallas_batched import DEFAULT_BT, LANE, _ceil_to
 
 DEF = jax.lax.Precision.DEFAULT
 
-# Batch-chunk size for the narrow fused training kernels: the measured
-# per-sample optimum (8.3 µs/sample at 256 vs 10.6 at 512 whole-batch,
-# scripts/probe_train_dense_chunk.py), and small enough to stay under the
-# remote-compiler cliffs (dense weights crash at B>=1024,
-# reconstruction-fed weights at B>=512 — scripts/probe_finetune_b512_*.py).
+# Largest whole-batch the narrow fused kernel program is measured to
+# compile at in every weight-provenance regime: reconstruction-fed
+# programs (singular/reduced fine-tunes) crash the remote compiler for
+# EVERY B >= 512 and compile through 496; dense-weight programs crash at
+# B >= 1024 (scripts/probe_finetune_b512_*.py, probe_train_dense_chunk.py).
+_MAX_WHOLE_BATCH = 496
+# Target chunk size past the cliff: the measured per-sample optimum
+# (8.3 µs/sample at 256 vs 10.6 at 512 whole-batch). Chunks are balanced
+# (ceil(B/k) rounded up to 8), so they land in 200..263 — near the
+# optimum, never past the cliff, and at most 7 pad rows per chunk.
 _TRAIN_CHUNK = 256
+
+
+def is_narrow(params: StackedLSTMParams, d_in: int) -> bool:
+    """Eligibility for the fused whole-stack narrow kernels (every layer
+    n <= 128 lanes and the input dim too) — the ONE definition, shared by
+    this dispatch and the reconstruction-fed wrappers
+    (ops/singular_train.chunked_fast_train)."""
+    return all(l.units <= LANE for l in params.layers) and d_in <= LANE
 
 
 def _fwd_scan_hc(xp, U):
@@ -337,19 +350,20 @@ def stacked_lstm_apply_fast_train(
     """
     units = [l.units for l in params.layers]
     B, _, d_in = x_seq.shape
-    narrow = all(u <= LANE for u in units) and d_in <= LANE
-    if narrow and B > _TRAIN_CHUNK:
-        # independent 256-row chunks (scripts/probe_train_dense_chunk.py +
-        # probe_finetune_b512_chunk.py): 256 is the measured per-sample
-        # optimum (B=512: 4.27-4.30 ms chunked vs 5.42 whole-batch), and
-        # chunks stay under the remote-compiler cliffs (the dense-weight
-        # kernel crashes at B>=1024, the reconstruction-fed one at
-        # B>=512). Rows are independent, so gradients through the concat
-        # are exact and zero-padded rows get zero cotangent.
+    narrow = is_narrow(params, d_in)
+    if narrow and B > _MAX_WHOLE_BATCH:
+        # balanced ~256-row independent chunks past the measured
+        # whole-batch cliff (B=512: 2x256 = 4.27-4.30 ms, vs 5.42 for the
+        # whole batch where it compiles at all; B=1024 whole doesn't
+        # compile — scripts/probe_train_dense_chunk.py,
+        # probe_finetune_b512_chunk.py). Rows are independent, so
+        # gradients through the concat are exact and zero-padded rows get
+        # zero cotangent.
         from svd_lstm_tpu.ops.pallas_train_fused import fused_narrow_train_apply
 
         k = -(-B // _TRAIN_CHUNK)
-        pad = k * _TRAIN_CHUNK - B
+        c = -(-(-(-B // k)) // 8) * 8  # ceil(B/k) rounded up to 8 rows
+        pad = k * c - B
         if pad:
             x_seq = jnp.concatenate(
                 [x_seq, jnp.zeros((pad,) + x_seq.shape[1:], x_seq.dtype)],
@@ -358,7 +372,7 @@ def stacked_lstm_apply_fast_train(
         outs = [
             fused_narrow_train_apply(
                 params,
-                x_seq[i * _TRAIN_CHUNK : (i + 1) * _TRAIN_CHUNK],
+                x_seq[i * c : (i + 1) * c],
                 return_sequences=return_sequences,
                 interpret=interpret,
             )

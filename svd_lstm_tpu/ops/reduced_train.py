@@ -34,33 +34,11 @@ unchanged.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
-from svd_lstm_tpu.models.lstm import LSTMLayerParams, StackedLSTMParams
+from svd_lstm_tpu.models.lstm import StackedLSTMParams
 from svd_lstm_tpu.models.reduced import ReducedModelParams
 
 HIGHEST = jax.lax.Precision.HIGHEST
-
-
-def _dense_side(B, C):
-    """merged side: (d, r) x (r, gw-r) -> (d, gw) exact reconstruction."""
-    return jnp.concatenate([B, jnp.dot(B, C, precision=HIGHEST)], axis=1)
-
-
-def _dense_matrix(Bs, Cs):
-    """Dense view of one two-step side.
-
-    merged: single (B, C) pair for the whole (d x 4n) matrix;
-    split:  per-gate pairs (possibly uneven ranks), gate blocks [i|f|c|o]
-            concatenated along columns — the Keras layout models/lstm.py
-            stores (reference code/svd_classes_v3.py:330-363 keeps
-            per-gate two-step weights).
-    """
-    if isinstance(Bs, tuple):
-        return jnp.concatenate(
-            [_dense_side(B, C) for B, C in zip(Bs, Cs)], axis=1
-        )
-    return _dense_side(Bs, Cs)
 
 
 def reduced_dense_view(rparams: ReducedModelParams) -> StackedLSTMParams:
@@ -69,17 +47,18 @@ def reduced_dense_view(rparams: ReducedModelParams) -> StackedLSTMParams:
     ``x @ [B | B·C] == concat(x·B, (x·B)·C)`` exactly (slide 6-9 algebra,
     reference code/svd_classes_v3.py:317-363), so this view reproduces
     ``reduced_lstm_apply`` through the plain dense forward — and carries
-    exact gradients back to every (B, C) factor.
+    exact gradients back to every (B, C) factor (fold_IC's identity block
+    is a constant, so dB = dW₁ + dW₂·Cᵀ and dC = Bᵀ·dW₂ fall out of
+    autodiff unchanged).
+
+    Delegates to ``ops.layouts.reconstruct_dense_model`` — the ONE source
+    of the layout-critical [B | B·C] column order — pinning the dots to
+    HIGHEST precision (module docstring: the product IS the weight
+    matrix, so an ambient bf16 scope must not perturb it).
     """
-    layers = tuple(
-        LSTMLayerParams(
-            W=_dense_matrix(p.wB, p.wC),
-            U=_dense_matrix(p.uB, p.uC),
-            b=p.b,
-        )
-        for p in rparams.layers
-    )
-    return StackedLSTMParams(layers=layers, head=rparams.head)
+    from svd_lstm_tpu.ops.layouts import reconstruct_dense_model
+
+    return reconstruct_dense_model(rparams, precision=HIGHEST)
 
 
 def reduced_lstm_apply_fast_train(

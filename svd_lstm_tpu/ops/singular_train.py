@@ -44,8 +44,8 @@ B >= 512 the (differentiated reconstruction matmuls + fused fwd/bwd
 kernel pair) program crashes the remote compiler for EVERY batch size
 (HTTP 500, same family as the crash mode documented in
 ops/pallas_train.py; measured OK through B=496,
-scripts/probe_finetune_b512_{fix,pad}.py). Large batches therefore run
-the kernel over independent 256-row chunks — 256 is also the measured
+scripts/probe_finetune_b512_{fix,pad}.py). Batches past 496 therefore run
+the kernel over balanced ~256-row independent chunks — 256 is the measured
 per-sample sweet spot (8.3 µs/sample vs 10.7 at 496), so the chunked
 step at B=512 (4.30 ms) beats even the whole-batch dense-weight kernel
 (5.42 ms) and the bf16 scan (13.4 ms) — probe_finetune_b512_chunk.py.
@@ -70,19 +70,17 @@ def chunked_fast_train(
     """Fused-kernel training forward over a *reconstructed* dense view.
 
     Narrow stacks route to ``stacked_lstm_apply_fast_train``, whose
-    dispatch batch-chunks B > 256 into independent 256-row kernel
-    instances — the measured per-sample optimum AND the fix for the
-    B >= 512 reconstruction-fed compiler cliff (module docstring; chunk
-    gradients are exact, pad rows get zero cotangent). Non-narrow
+    dispatch batch-chunks B > 496 into balanced ~256-row independent
+    kernel instances — near the measured per-sample optimum AND the fix
+    for the B >= 512 reconstruction-fed compiler cliff (module docstring;
+    chunk gradients are exact, pad rows get zero cotangent). Non-narrow
     (>128-unit) stacks above B=128 keep the exact XLA scan: the chunking
     evidence only covers the narrow fused kernels, and wide
     reconstruction-fed programs have their own unmapped crash modes.
     """
-    from svd_lstm_tpu.ops.pallas_train import LANE, stacked_lstm_apply_fast_train
+    from svd_lstm_tpu.ops.pallas_train import is_narrow, stacked_lstm_apply_fast_train
 
-    narrow = (
-        all(l.units <= LANE for l in dense.layers) and x_seq.shape[-1] <= LANE
-    )
+    narrow = is_narrow(dense, x_seq.shape[-1])
     if not narrow and x_seq.shape[0] > 128:
         from svd_lstm_tpu.models.lstm import stacked_lstm_apply
 

@@ -267,33 +267,30 @@ def finetune_reduced_dp(
     train_cfg: TrainConfig | None = None,
     verbose: bool = False,
     init_opt_state: Any = None,
+    windows: tuple | None = None,
     validation: tuple | None = None,
 ) -> TrainResult:
     """dp-sharded post-truncation recovery fine-tune LOOP — the
     multi-device form of ``train.finetune.finetune_reduced`` (the
     beyond-reference stage: the reference's reduced cell is frozen,
-    code/svd_classes_v3.py:249-315). Same family dispatch
-    (``ReducedModelParams`` / conv hybrid ``ConvReducedParams``) and the
-    same kernel routing: ``train_cfg.recurrence_kernel`` swaps the
-    pure-LSTM family onto ops/reduced_train's fused engine via the ONE
-    shared ``resolve_train_apply_fn``."""
-    from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+    code/svd_classes_v3.py:249-315). Family dispatch
+    (``ReducedModelParams`` / conv hybrid ``ConvReducedParams``) shares
+    ``train.finetune.reduced_apply_fn``, and the kernel routing shares
+    ``resolve_train_apply_fn``: ``train_cfg.recurrence_kernel`` swaps the
+    pure-LSTM family onto ops/reduced_train's fused engine."""
+    from svd_lstm_tpu.train.finetune import reduced_apply_fn
 
     if train_cfg is None:
         train_cfg = TrainConfig()
-    apply_fn = reduced_lstm_apply
-    if hasattr(rparams, "inner"):  # ConvReducedParams
-        from svd_lstm_tpu.models.conv import conv_reduced_apply
-
-        apply_fn = conv_reduced_apply
     return fit_dp(
         rparams,
         X_train,
         y_train,
         mesh,
         cfg=train_cfg,
-        apply_fn=apply_fn,
+        apply_fn=reduced_apply_fn(rparams),
         verbose=verbose,
         init_opt_state=init_opt_state,
+        windows=windows,
         validation=validation,
     )

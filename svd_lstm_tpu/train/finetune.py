@@ -210,26 +210,33 @@ def finetune_reduced(
     through the fused Pallas engine via the differentiable dense view
     (ops/reduced_train.py); conv hybrids keep the XLA scan.
     """
-    from svd_lstm_tpu.models.reduced import reduced_lstm_apply
-
     if train_cfg is None:
         train_cfg = TrainConfig()
-    apply_fn = reduced_lstm_apply
-    if hasattr(rparams, "inner"):  # ConvReducedParams
-        from svd_lstm_tpu.models.conv import conv_reduced_apply
-
-        apply_fn = conv_reduced_apply
     return fit(
         rparams,
         X_train,
         y_train,
         cfg=train_cfg,
-        apply_fn=apply_fn,
+        apply_fn=reduced_apply_fn(rparams),
         verbose=verbose,
         init_opt_state=init_opt_state,
         windows=windows,
         validation=validation,
     )
+
+
+def reduced_apply_fn(rparams):
+    """The ONE reduced-family forward resolver: ``reduced_lstm_apply`` for
+    ``ReducedModelParams``, ``conv_reduced_apply`` for the conv hybrid —
+    shared by ``finetune_reduced`` and ``parallel.fit.finetune_reduced_dp``
+    so both recovery loops dispatch identically."""
+    if hasattr(rparams, "inner"):  # ConvReducedParams
+        from svd_lstm_tpu.models.conv import conv_reduced_apply
+
+        return conv_reduced_apply
+    from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+
+    return reduced_lstm_apply
 
 
 def harvest_sigmas(sparams):
