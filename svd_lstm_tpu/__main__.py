@@ -204,6 +204,15 @@ def _tune(argv):
     ap.add_argument(
         "--no-cache", action="store_true", help="measure only; skip the disk cache"
     )
+    ap.add_argument(
+        "--train", action="store_true",
+        help="tune the TRAINING step instead of inference: measure "
+        "f32/tf32/bf16 scans and the fused kernel engine (full "
+        "value_and_grad+adam step, family-aware: σ-masked Hoyer step for "
+        "singular checkpoints) and report the winning TrainConfig "
+        "(matmul_precision, recurrence_kernel) flags; --batch/--steps set "
+        "the window batch (default B=32, T=200 — the reference's regime)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -220,10 +229,41 @@ def _tune(argv):
     from svd_lstm_tpu.api import model_input_dim
 
     d = model_input_dim(params)  # family-aware (conv hybrids: c_in)
+    dev = jax.devices()[0]
+    if args.train:
+        B = args.batch or 32
+        T = args.steps if args.steps != 2048 else 200
+        x = jax.random.normal(jax.random.key(1), (B, T, d), jnp.float32)
+        y = jax.random.normal(jax.random.key(2), (B,), jnp.float32)
+        r = at.autotune_train(params, x, y, repeats=args.repeats)
+        print(f"device: {dev.platform}:{dev.device_kind}   windows (B={B}, "
+              f"T={T}, d={d})  full train step incl. optimizer")
+        for name, ms in sorted(r.table.items(), key=lambda kv: kv[1]):
+            if name == "f32_scan":
+                mark = "  (exact regime — context, never tuned)"
+            elif ms == r.ms:
+                mark = " <- winner"
+            else:
+                mark = ""
+            print(f"  {name:<13} {ms:10.3f} ms/step{mark}")
+        for name, err in r.failed.items():
+            print(f"  {name:<13} SKIPPED: {err.splitlines()[0][:90]}")
+        print(
+            "TrainConfig flags: "
+            f"matmul_precision={r.matmul_precision!r}, "
+            f"recurrence_kernel={r.recurrence_kernel}"
+        )
+        if not args.no_cache:
+            cache = at.default_cache_path()
+            at._store_disk(
+                cache, at.train_cache_key(params, x),
+                f"{r.matmul_precision}|{int(r.recurrence_kernel)}",
+            )
+            print(f"cached -> {cache}")
+        return
     shape = (args.batch, args.steps, d) if args.batch else (args.steps, d)
     x = jax.random.normal(jax.random.key(1), shape, jnp.float32)
     r = at.autotune(params, x, precision=args.precision, repeats=args.repeats)
-    dev = jax.devices()[0]
     print(f"device: {dev.platform}:{dev.device_kind}   input {shape}  "
           f"precision={args.precision}")
     for impl, ms in sorted(r.table.items(), key=lambda kv: kv[1]):

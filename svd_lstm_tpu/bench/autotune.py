@@ -215,3 +215,207 @@ def predict_tuned(params, x, precision: str = "exact", cache_path: str | None = 
     return predict(
         params, x, impl=tuned_impl(params, x, precision, cache_path), precision=precision
     )
+
+
+# ------------------------------------------------------------- training --
+
+
+class TrainTuneResult(NamedTuple):
+    matmul_precision: str          # winning TrainConfig.matmul_precision
+    recurrence_kernel: bool        # winning TrainConfig.recurrence_kernel
+    ms: float                      # its measured full-step device time
+    table: dict[str, float]        # regime -> ms for every candidate
+    failed: dict[str, str]         # regime -> error for candidates that died
+
+
+# (name, TrainConfig.matmul_precision, TrainConfig.recurrence_kernel).
+# f32_scan is the exact regime — measured for context, never the winner:
+# exact training has exactly one implementation, so there is nothing to
+# tune there. The relaxed regimes share one numerics class (single-pass
+# bf16 dots, f32 accumulation) and genuinely compete: the fused kernel
+# wins the narrow/uniform stacks it supports, the bf16 scan wins wherever
+# the kernel dispatch falls back (mixed wide stacks, conv hybrids).
+_TRAIN_REGIMES = (
+    ("f32_scan", "float32", False),
+    ("tf32_scan", "tensorfloat32", False),
+    ("bf16_scan", "bfloat16", False),
+    ("fused_kernel", "bfloat16", True),
+)
+
+
+def _train_apply_for(params):
+    """Stock scan apply_fn for the model family (the same resolution
+    fit/finetune perform), plus the family's loss extra + optimizer
+    factory so the measured step is the step that family actually runs."""
+    import optax
+
+    from svd_lstm_tpu.models.lstm import stacked_lstm_apply
+
+    fam = _family(params)
+    if fam == "dense":
+        return stacked_lstm_apply, None, lambda p: optax.adam(1e-3)
+    if fam == "singular":
+        from svd_lstm_tpu.config import FactorConfig
+        from svd_lstm_tpu.models.singular import singular_lstm_apply
+        from svd_lstm_tpu.train.finetune import (
+            make_finetune_optimizer,
+            regularization_loss,
+        )
+
+        fcfg = FactorConfig(hoyer=0.01)
+        return (
+            singular_lstm_apply,
+            lambda p: regularization_loss(p, fcfg),
+            lambda p: make_finetune_optimizer(p, fcfg),
+        )
+    if fam == "reduced":
+        from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+
+        return reduced_lstm_apply, None, lambda p: optax.adam(1e-3)
+    if fam.startswith("conv+"):
+        from svd_lstm_tpu.train.finetune import reduced_apply_fn
+
+        if fam == "conv+reduced":
+            return reduced_apply_fn(params), None, lambda p: optax.adam(1e-3)
+        if fam == "conv+singular":
+            from svd_lstm_tpu.config import FactorConfig
+            from svd_lstm_tpu.models.conv import conv_singular_apply
+            from svd_lstm_tpu.train.finetune import (
+                make_finetune_optimizer,
+                regularization_loss,
+            )
+
+            fcfg = FactorConfig(hoyer=0.01)
+            return (
+                conv_singular_apply,
+                lambda p: regularization_loss(p, fcfg),
+                lambda p: make_finetune_optimizer(p, fcfg),
+            )
+        from svd_lstm_tpu.models.conv import conv_lstm_apply
+
+        return conv_lstm_apply, None, lambda p: optax.adam(1e-3)
+    raise TypeError(f"no training path for family {fam!r}")
+
+
+def autotune_train(
+    params, x, y, repeats: int = 2, include_exact: bool = True
+) -> TrainTuneResult:
+    """Time the full training step (value_and_grad + optimizer update) for
+    every training regime valid for this model and pick the fastest
+    *relaxed* one as ``(matmul_precision, recurrence_kernel)`` TrainConfig
+    flags — the training analog of ``autotune``/``predict(impl="auto")``.
+
+    ``x``: a sample window batch (B, T, d); ``y``: (B,) labels — the
+    measured step is shaped exactly like the production step, including
+    the family's σ-mask optimizer and regularizer for singular models.
+    The kernel regime is skipped (recorded in ``failed``) when the family
+    has no training kernel (conv hybrids) — measuring the identical scan
+    twice would pick a winner by noise.
+    """
+    import optax
+
+    from svd_lstm_tpu.bench.devtime import device_time_ms
+    from svd_lstm_tpu.config import TrainConfig
+    from svd_lstm_tpu.train.loop import resolve_train_apply_fn
+
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    base_apply, loss_extra, make_opt = _train_apply_for(params)
+    optimizer = make_opt(params)
+    opt_state = optimizer.init(params)
+
+    def mk_step(apply_fn, scope):
+        def loss_fn(p, xx, yy):
+            pred = apply_fn(p, xx, return_sequences=False)[..., 0]
+            loss = jnp.mean(jnp.square(pred - yy))
+            if loss_extra is not None:
+                loss = loss + loss_extra(p)
+            return loss
+
+        @jax.jit
+        def step(p, s, xx, yy):
+            if scope:
+                with jax.default_matmul_precision(scope):
+                    l, g = jax.value_and_grad(loss_fn)(p, xx, yy)
+            else:
+                l, g = jax.value_and_grad(loss_fn)(p, xx, yy)
+            u, s = optimizer.update(g, s, p)
+            return optax.apply_updates(p, u), s, l
+
+        return step
+
+    table: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    for name, prec, kernel in _TRAIN_REGIMES:
+        if name == "f32_scan" and not include_exact:
+            continue
+        if kernel:
+            apply_fn, using_kernel = resolve_train_apply_fn(
+                TrainConfig(recurrence_kernel=True), base_apply
+            )
+            if not using_kernel:
+                failed[name] = "no training kernel for this model family"
+                continue
+            scope = None  # kernel dots are DEFAULT-precision already
+        else:
+            apply_fn, scope = base_apply, prec
+        try:
+            table[name] = device_time_ms(
+                mk_step(apply_fn, scope), params, opt_state, x, y,
+                repeats=repeats,
+            )
+        except Exception as e:  # noqa: BLE001 — per-candidate isolation
+            failed[name] = f"{type(e).__name__}: {e}"
+    relaxed = {k: v for k, v in table.items() if k != "f32_scan"}
+    if not relaxed:
+        raise RuntimeError(f"every relaxed training regime failed: {failed}")
+    best = min(relaxed, key=relaxed.get)
+    prec, kernel = {
+        n: (p, k) for n, p, k in _TRAIN_REGIMES
+    }[best]
+    return TrainTuneResult(
+        matmul_precision=prec,
+        recurrence_kernel=kernel,
+        ms=relaxed[best],
+        table=table,
+        failed=failed,
+    )
+
+
+def train_cache_key(params, x) -> str:
+    """Training-regime cache key: like ``cache_key`` plus the train
+    marker; precision is what's being tuned, so it is not in the key."""
+    dev = jax.devices()[0]
+    return json.dumps(
+        {
+            "train": True,
+            "family": _family(params),
+            "dims": _dims(params),
+            "x": tuple(int(s) for s in jnp.asarray(x).shape),
+            "device": f"{dev.platform}:{dev.device_kind}",
+        },
+        sort_keys=True,
+    )
+
+
+def tuned_train_flags(
+    params, x, y, cache_path: str | None = None
+) -> tuple[str, bool]:
+    """Measured-best ``(matmul_precision, recurrence_kernel)`` TrainConfig
+    flags for this (model, window shape, device) — measured once, then
+    served from the same in-memory/disk cache as ``tuned_impl``. Apply as
+    ``dataclasses.replace(cfg, matmul_precision=p, recurrence_kernel=k)``."""
+    if cache_path is None:
+        cache_path = default_cache_path()
+    key = train_cache_key(params, x)
+    val = _MEM_CACHE.get(key)
+    if val is None and cache_path:
+        val = _load_disk(cache_path).get(key)
+    if val is None:
+        r = autotune_train(params, x, y, include_exact=False)
+        val = f"{r.matmul_precision}|{int(r.recurrence_kernel)}"
+        if cache_path:
+            _store_disk(cache_path, key, val)
+    _MEM_CACHE[key] = val
+    prec, kernel = val.rsplit("|", 1)
+    return prec, bool(int(kernel))

@@ -119,3 +119,70 @@ def test_predict_tuned_matches_predict(model_x, tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(predict(params, x, impl="scan")), rtol=1e-6
     )
+
+
+# ------------------------------------------------------------- training --
+
+
+def _train_xy(B=8, T=4, d=4):
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, T, d))
+    y = jax.random.normal(jax.random.PRNGKey(3), (B,))
+    return x, y
+
+
+def test_autotune_train_dense_measures_all_regimes(model_x):
+    """On CPU every regime runs (the kernel in interpret mode), the winner
+    is a relaxed regime, and f32_scan is context-only."""
+    params, _ = model_x
+    x, y = _train_xy()
+    r = at.autotune_train(params, x, y, repeats=1)
+    assert set(r.table) >= {"f32_scan", "bf16_scan"}
+    assert (r.matmul_precision, r.recurrence_kernel) in {
+        ("tensorfloat32", False), ("bfloat16", False), ("bfloat16", True)
+    }
+    assert r.ms == min(v for k, v in r.table.items() if k != "f32_scan")
+
+
+def test_autotune_train_singular_uses_masked_step(model_x):
+    """The singular family measures the σ-masked Hoyer fine-tune step —
+    the optimizer must accept the singular pytree without error."""
+    from svd_lstm_tpu.factor.svd import make_singular_model
+
+    params, _ = model_x
+    sp = make_singular_model(params, merged_kernel=False)
+    x, y = _train_xy()
+    r = at.autotune_train(sp, x, y, repeats=1)
+    assert "bf16_scan" in r.table and r.ms > 0
+
+
+def test_autotune_train_conv_hybrid_skips_kernel():
+    """Conv hybrids have no training kernel: the fused_kernel regime is
+    recorded in failed (not silently duplicated as a second scan)."""
+    from svd_lstm_tpu.models.conv import init_conv_lstm
+
+    hybrid = init_conv_lstm(
+        jax.random.PRNGKey(0), in_channels=4, filters=6, kernel_size=3, units=(6,)
+    )
+    x, y = _train_xy()
+    r = at.autotune_train(hybrid, x, y, repeats=1)
+    assert "fused_kernel" in r.failed
+    assert not r.recurrence_kernel
+
+
+def test_tuned_train_flags_cache_roundtrip(model_x, tmp_path, monkeypatch):
+    params, _ = model_x
+    x, y = _train_xy()
+    cache = str(tmp_path / "autotune.json")
+    monkeypatch.setattr(at, "_MEM_CACHE", {})
+    prec, kernel = at.tuned_train_flags(params, x, y, cache_path=cache)
+    assert prec in ("tensorfloat32", "bfloat16") and isinstance(kernel, bool)
+    data = json.load(open(cache))
+    assert len(data) == 1
+
+    def boom(*a, **k):
+        raise AssertionError("re-measured despite cache")
+
+    monkeypatch.setattr(at, "autotune_train", boom)
+    assert at.tuned_train_flags(params, x, y, cache_path=cache) == (prec, kernel)
+    monkeypatch.setattr(at, "_MEM_CACHE", {})
+    assert at.tuned_train_flags(params, x, y, cache_path=cache) == (prec, kernel)
