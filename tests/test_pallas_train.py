@@ -167,3 +167,17 @@ def test_apply_fast_train_uniform_stack_wide_input_fallback(rng):
     y_ref = np.asarray(stacked_lstm_apply(params, x, return_sequences=True))
     y = np.asarray(stacked_lstm_apply_fast_train(params, x, interpret=True))
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+
+def test_apply_fast_train_balanced_chunk_boundaries(rng):
+    """The B > 496 balanced-chunk dispatch (ops/pallas_train.py): B=600
+    splits into 3×200 with zero pad rows; B=997 (odd, not a multiple of 8)
+    pads to 4×256 and slices back — both must match the exact forward
+    row-for-row."""
+    params = init_stacked_lstm(jax.random.PRNGKey(5), input_dim=6, units=(10,))
+    for B in (600, 997):
+        x = jnp.asarray(rng.normal(size=(B, 3, 6)).astype(np.float32))
+        y_ref = np.asarray(stacked_lstm_apply(params, x, return_sequences=True))
+        y = np.asarray(stacked_lstm_apply_fast_train(params, x, interpret=True))
+        assert y.shape == y_ref.shape
+        np.testing.assert_allclose(y, y_ref, atol=1e-5)
