@@ -195,7 +195,12 @@ def _tune(argv):
     ap.add_argument(
         "--checkpoint", default=None, help="model checkpoint (default: random 4x40)"
     )
-    ap.add_argument("--steps", type=int, default=2048, help="run length T")
+    ap.add_argument(
+        "--steps", type=int, default=None,
+        help="run length T (default: 2048 for inference tuning, 200 — the "
+        "reference's window length — for --train; a None default so an "
+        "explicit --steps 2048 --train is honored rather than remapped)",
+    )
     ap.add_argument("--batch", type=int, default=0, help="0 = batch-1 (T, d) input")
     ap.add_argument(
         "--precision", default="exact", choices=("exact", "high", "fast")
@@ -232,7 +237,7 @@ def _tune(argv):
     dev = jax.devices()[0]
     if args.train:
         B = args.batch or 32
-        T = args.steps if args.steps != 2048 else 200
+        T = args.steps if args.steps is not None else 200
         x = jax.random.normal(jax.random.key(1), (B, T, d), jnp.float32)
         y = jax.random.normal(jax.random.key(2), (B,), jnp.float32)
         r = at.autotune_train(params, x, y, repeats=args.repeats)
@@ -254,14 +259,14 @@ def _tune(argv):
             f"recurrence_kernel={r.recurrence_kernel}"
         )
         if not args.no_cache:
-            cache = at.default_cache_path()
-            at._store_disk(
-                cache, at.train_cache_key(params, x),
+            cache = at.store_tuned(
+                at.train_cache_key(params, x),
                 f"{r.matmul_precision}|{int(r.recurrence_kernel)}",
             )
             print(f"cached -> {cache}")
         return
-    shape = (args.batch, args.steps, d) if args.batch else (args.steps, d)
+    T = args.steps if args.steps is not None else 2048
+    shape = (args.batch, T, d) if args.batch else (T, d)
     x = jax.random.normal(jax.random.key(1), shape, jnp.float32)
     r = at.autotune(params, x, precision=args.precision, repeats=args.repeats)
     print(f"device: {dev.platform}:{dev.device_kind}   input {shape}  "
@@ -272,8 +277,7 @@ def _tune(argv):
     for impl, err in r.failed.items():
         print(f"  {impl:<8} FAILED: {err.splitlines()[0][:90]}")
     if not args.no_cache:
-        cache = at.default_cache_path()
-        at._store_disk(cache, at.cache_key(params, x, args.precision), r.impl)
+        cache = at.store_tuned(at.cache_key(params, x, args.precision), r.impl)
         print(f"cached -> {cache}")
 
 

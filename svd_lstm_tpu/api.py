@@ -88,7 +88,8 @@ def valid_impls(params, x, precision: str = "exact") -> list:
     return cands
 
 
-def predict(params, x, impl: str = "auto", precision: str = "exact"):
+def predict(params, x, impl: str = "auto", precision: str = "exact",
+            consult_cache: bool = True):
     """Whole-run inference.
 
     x: (T, d) for batch-1 or (B, T, d) batched. Returns (T, out) / (B, T, out).
@@ -102,6 +103,17 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
     impl='auto') the relaxed-dot flag has no carrier and the exact f32
     scan runs — intentional, matching the batched impl='scan' escape
     hatch's exact semantics rather than silently changing numerics.
+
+    impl='auto' first consults the persistent autotune cache
+    (``bench.autotune.cached_impl``, device-kind-keyed): if this exact
+    (model, input, precision) was ever measured on this device (``python
+    -m svd_lstm_tpu tune`` or ``tuned_impl``), the measured winner
+    dispatches instead of the fitted v5e selection table below — tune
+    once, every later predict benefits. Never-tuned shapes and other
+    devices fall back to the table; stale entries that are no longer
+    valid for the input are ignored. ``consult_cache=False`` bypasses the
+    lookup (``bench.autotune.autotune`` measures with it off so a
+    pre-existing entry cannot redirect the 'auto' candidate mid-measure).
     """
     from svd_lstm_tpu.utils.precision import cast_params, matmul_scope
 
@@ -111,6 +123,19 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
         raise ValueError(
             f"unknown impl {impl!r}; expected 'auto' | 'scan' | 'fused' | 'hybrid'"
         )
+    if impl == "auto" and consult_cache:
+        from svd_lstm_tpu.bench.autotune import cached_impl
+
+        hit = cached_impl(params, x, precision)
+        # 'auto' as the cached winner means the default dispatch below IS
+        # the measured-best path (the batched fast mode's Pallas route) —
+        # fall through. A hit outside the currently-valid set is stale
+        # (e.g. a different checkpoint family at the same shapes after a
+        # cache-key change) and is ignored rather than raised.
+        if hit is not None and hit != "auto" and hit in valid_impls(
+            params, x, precision
+        ):
+            impl = hit
     batched = x.ndim == 3
     # Conv hybrids: peel the causal-conv front end off FIRST (one whole-
     # sequence MXU-tiled conv, exact f32) and recurse on the inner LSTM
@@ -131,7 +156,8 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
         xb = x if batched else x[None]
         h = jax.nn.relu(causal_conv1d(conv, xb.astype(jnp.float32)))
         h = h if batched else h[0]
-        return predict(inner, h, impl=impl, precision=precision)
+        return predict(inner, h, impl=impl, precision=precision,
+                       consult_cache=consult_cache)
     if batched and impl in ("fused", "hybrid"):
         raise ValueError(
             f"impl={impl!r} kernels are batch-1 only; use impl='auto' (Pallas "
@@ -177,10 +203,12 @@ def predict(params, x, impl: str = "auto", precision: str = "exact"):
                 return batched_forward_fast(params, x)
             params = cast_params(params, jnp.bfloat16)
             x = x.astype(jnp.bfloat16)
-            out = predict(params, x, impl=impl, precision="exact")
+            out = predict(params, x, impl=impl, precision="exact",
+                          consult_cache=consult_cache)
             return out.astype(jnp.float32)
         with scope:
-            return predict(params, x, impl=impl, precision="exact")
+            return predict(params, x, impl=impl, precision="exact",
+                           consult_cache=consult_cache)
     x1 = None if batched else x
     # batch-1 fast mode: relaxed in-kernel dots (single-pass bf16 multiply,
     # f32 accumulate). The f32-forced 3-pass emulation is not free even in

@@ -141,7 +141,13 @@ def autotune(
     table: dict[str, float] = {}
     failed: dict[str, str] = {}
     for impl in impls if impls is not None else candidates(params, x, precision):
-        fn = jax.jit(lambda p, xx, i=impl: predict(p, xx, impl=i, precision=precision))
+        # consult_cache off: a pre-existing cache entry must not redirect
+        # the 'auto' candidate while it is itself being measured
+        fn = jax.jit(
+            lambda p, xx, i=impl: predict(
+                p, xx, impl=i, precision=precision, consult_cache=False
+            )
+        )
         try:
             table[impl] = device_time_ms(fn, params, x, repeats=repeats)
         except Exception as e:  # noqa: BLE001 — per-candidate isolation
@@ -155,6 +161,10 @@ def autotune(
 # ---------------------------------------------------------------- cache --
 
 _MEM_CACHE: dict[str, str] = {}
+# mtime-keyed snapshot of the disk cache so read-only lookups on the
+# predict hot path (api.predict impl='auto' consults the cache at trace
+# time) don't re-read the file per call
+_DISK_MEMO: dict[str, tuple[float, dict]] = {}
 
 
 def default_cache_path() -> str:
@@ -188,6 +198,72 @@ def _store_disk(path: str, key: str, impl: str) -> None:
         os.replace(tmp, path)
 
 
+def _read_disk_cached(path: str) -> dict:
+    """Disk cache contents, memoized on (path, mtime) — fresh writes (a
+    concurrent ``tune`` run) invalidate the memo automatically."""
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return {}
+    hit = _DISK_MEMO.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    data = _load_disk(path)
+    _DISK_MEMO[path] = (mtime, data)
+    return data
+
+
+def _cached_value(key: str, cache_path: str | None) -> str | None:
+    """Read-only lookup (memory, then disk) — NEVER measures."""
+    if cache_path is None:
+        cache_path = default_cache_path()
+    val = _MEM_CACHE.get(key)
+    if val is None and cache_path:
+        val = _read_disk_cached(cache_path).get(key)
+        if val is not None:
+            _MEM_CACHE[key] = val
+    return val
+
+
+def cached_impl(
+    params, x, precision: str = "exact", cache_path: str | None = None
+) -> str | None:
+    """The measured-best impl for this (model, input, precision, device)
+    if one was ever tuned (``tune`` CLI / ``tuned_impl``), else None —
+    the read-only lookup ``api.predict(impl="auto")`` consults so one
+    ``tune`` run redirects every later auto-dispatch on the same device.
+    Keys include the backend device kind, so a v5e-measured winner never
+    leaks onto a v4/v6e (those fall back to predict's fitted table)."""
+    return _cached_value(cache_key(params, x, precision), cache_path)
+
+
+def cached_train_flags(
+    params, x, cache_path: str | None = None
+) -> tuple[str, bool] | None:
+    """The measured-best ``(matmul_precision, recurrence_kernel)``
+    TrainConfig flags for this (model, window shape, device) if ever
+    tuned (``tune --train`` / ``tuned_train_flags``), else None — the
+    read-only training analog of :func:`cached_impl`."""
+    val = _cached_value(train_cache_key(params, x), cache_path)
+    if val is None:
+        return None
+    prec, kernel = val.rsplit("|", 1)
+    return prec, bool(int(kernel))
+
+
+def store_tuned(key: str, value: str, cache_path: str | None = None) -> str:
+    """Public cache write: populate the in-memory memo AND the disk layer
+    (the CLI's post-measurement store; ``tuned_impl``/``tuned_train_flags``
+    in the same process then serve the memo instead of re-reading disk).
+    Pass ``cache_path=""`` to skip the disk layer. Returns the path used."""
+    if cache_path is None:
+        cache_path = default_cache_path()
+    _MEM_CACHE[key] = value
+    if cache_path:
+        _store_disk(cache_path, key, value)
+    return cache_path
+
+
 def tuned_impl(
     params, x, precision: str = "exact", cache_path: str | None = None
 ) -> str:
@@ -197,9 +273,7 @@ def tuned_impl(
     if cache_path is None:
         cache_path = default_cache_path()
     key = cache_key(params, x, precision)
-    impl = _MEM_CACHE.get(key)
-    if impl is None and cache_path:
-        impl = _load_disk(cache_path).get(key)
+    impl = _cached_value(key, cache_path)
     if impl is None:
         impl = autotune(params, x, precision=precision).impl
         if cache_path:
@@ -233,8 +307,9 @@ class TrainTuneResult(NamedTuple):
 # exact training has exactly one implementation, so there is nothing to
 # tune there. The relaxed regimes share one numerics class (single-pass
 # bf16 dots, f32 accumulation) and genuinely compete: the fused kernel
-# wins the narrow/uniform stacks it supports, the bf16 scan wins wherever
-# the kernel dispatch falls back (mixed wide stacks, conv hybrids).
+# wins the narrow/uniform stacks it supports (every family — dense,
+# singular, reduced, conv hybrids), the bf16 scan wins wherever the
+# kernel dispatch falls back (mixed wide stacks).
 _TRAIN_REGIMES = (
     ("f32_scan", "float32", False),
     ("tf32_scan", "tensorfloat32", False),
@@ -308,9 +383,11 @@ def autotune_train(
     ``x``: a sample window batch (B, T, d); ``y``: (B,) labels — the
     measured step is shaped exactly like the production step, including
     the family's σ-mask optimizer and regularizer for singular models.
-    The kernel regime is skipped (recorded in ``failed``) when the family
-    has no training kernel (conv hybrids) — measuring the identical scan
-    twice would pick a winner by noise.
+    The kernel regime is skipped (recorded in ``failed``) if the family
+    resolution ever yields no kernel swap — measuring the identical scan
+    twice would pick a winner by noise (every current family has one:
+    ops/pallas_train.py, ops/singular_train.py, ops/reduced_train.py,
+    ops/conv_train.py).
     """
     import optax
 
@@ -356,7 +433,14 @@ def autotune_train(
             if not using_kernel:
                 failed[name] = "no training kernel for this model family"
                 continue
-            scope = None  # kernel dots are DEFAULT-precision already
+            # Measure inside the SAME bf16 scope the recommended
+            # TrainConfig(matmul_precision="bfloat16", recurrence_kernel=
+            # True) applies in production (train/loop.py wraps the whole
+            # loss in the scope): the kernel's own dots are pinned to
+            # DEFAULT and the dense-view reconstruction to HIGHEST, so the
+            # scope only relaxes the intended parts (head/loss/conv dots) —
+            # without it the measured step differed from the recommended one.
+            scope = "bfloat16"
         else:
             apply_fn, scope = base_apply, prec
         try:
@@ -408,9 +492,7 @@ def tuned_train_flags(
     if cache_path is None:
         cache_path = default_cache_path()
     key = train_cache_key(params, x)
-    val = _MEM_CACHE.get(key)
-    if val is None and cache_path:
-        val = _load_disk(cache_path).get(key)
+    val = _cached_value(key, cache_path)
     if val is None:
         r = autotune_train(params, x, y, include_exact=False)
         val = f"{r.matmul_precision}|{int(r.recurrence_kernel)}"

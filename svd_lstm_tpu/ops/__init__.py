@@ -9,8 +9,16 @@
 * reduced_train — the post-truncation recovery fine-tune through the same
   kernels via the exact two-step dense view (beyond-reference: the
   reference's reduced cell is frozen)
+* conv_train — the Conv1D+LSTM hybrids through the same kernels via the
+  hoisted conv front end (standard XLA VJP feeding the stack kernels)
 * layouts — storage-vs-execution layout transforms for reduced models
 """
+
+from svd_lstm_tpu.ops.conv_train import (
+    conv_lstm_apply_fast_train,
+    conv_reduced_apply_fast_train,
+    conv_singular_apply_fast_train,
+)
 
 from svd_lstm_tpu.ops.layouts import (
     reconstruct_dense_model,

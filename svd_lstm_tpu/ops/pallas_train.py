@@ -57,9 +57,12 @@ DEF = jax.lax.Precision.DEFAULT
 # B >= 1024 (scripts/probe_finetune_b512_*.py, probe_train_dense_chunk.py).
 _MAX_WHOLE_BATCH = 496
 # Target chunk size past the cliff: the measured per-sample optimum
-# (8.3 µs/sample at 256 vs 10.6 at 512 whole-batch). Chunks are balanced
-# (ceil(B/k) rounded up to 8), so they land in 200..263 — near the
-# optimum, never past the cliff, and at most 7 pad rows per chunk.
+# (8.3 µs/sample at 256 vs 10.6 at 512 whole-batch). Chunks are balanced:
+# with k = ceil(B/256) instances, each runs c = ceil(B/k) rows rounded up
+# to 8 — always <= 256 (never past the cliff) but as small as ~176 just
+# past a multiple of 256 (B=513 -> 3x176). Total padding is < one chunk
+# (B > (k-1)*c forces k*c - B < c; e.g. 248 rows at B=8200) and sits
+# entirely in the LAST chunk (zero rows, gradient-inert).
 _TRAIN_CHUNK = 256
 
 

@@ -163,10 +163,11 @@ def resolve_train_apply_fn(cfg: TrainConfig, apply_fn: Callable):
     ``parallel.fit_dp`` (ONE definition — the two loops cannot drift).
     Returns ``(apply_fn, using_kernel)``.
 
-    * ``cfg.recurrence_kernel``: the dense scan, the σ fine-tune and the
-      post-truncation recovery fine-tune swap to the custom-VJP Pallas
-      training engine (ops/pallas_train.py / ops/singular_train.py /
-      ops/reduced_train.py; dots are DEFAULT-precision, like
+    * ``cfg.recurrence_kernel``: the dense scan, the σ fine-tune, the
+      post-truncation recovery fine-tune AND the conv hybrids swap to the
+      custom-VJP Pallas training engine (ops/pallas_train.py /
+      ops/singular_train.py / ops/reduced_train.py / ops/conv_train.py;
+      dots are DEFAULT-precision, like
       matmul_precision="bfloat16"; off-TPU the kernels run in interpret
       mode so the flag stays testable on the CI CPU mesh). Dropout
       wrappers and custom applies keep their scan — the kernels have no
@@ -180,6 +181,11 @@ def resolve_train_apply_fn(cfg: TrainConfig, apply_fn: Callable):
       training without remat (and then OOMing exactly as if the knob
       were ignored).
     """
+    from svd_lstm_tpu.models.conv import (
+        conv_lstm_apply,
+        conv_reduced_apply,
+        conv_singular_apply,
+    )
     from svd_lstm_tpu.models.reduced import reduced_lstm_apply
     from svd_lstm_tpu.models.singular import singular_lstm_apply
 
@@ -212,15 +218,42 @@ def resolve_train_apply_fn(cfg: TrainConfig, apply_fn: Callable):
                 partial(reduced_lstm_apply_fast_train, interpret=interpret),
                 True,
             )
-    if cfg.remat_chunk:
-        from svd_lstm_tpu.models.conv import conv_lstm_apply, conv_singular_apply
+        # conv hybrids: hoisted conv front end (standard XLA VJP) feeding
+        # the SAME fused kernels through the family's dense view
+        # (ops/conv_train.py — the reference trains the hybrid end-to-end,
+        # code/old_versions/toy-convolution.py:70-76)
+        if apply_fn is conv_lstm_apply:
+            from svd_lstm_tpu.ops.conv_train import conv_lstm_apply_fast_train
 
+            return (
+                partial(conv_lstm_apply_fast_train, interpret=interpret),
+                True,
+            )
+        if apply_fn is conv_singular_apply:
+            from svd_lstm_tpu.ops.conv_train import (
+                conv_singular_apply_fast_train,
+            )
+
+            return (
+                partial(conv_singular_apply_fast_train, interpret=interpret),
+                True,
+            )
+        if apply_fn is conv_reduced_apply:
+            from svd_lstm_tpu.ops.conv_train import (
+                conv_reduced_apply_fast_train,
+            )
+
+            return (
+                partial(conv_reduced_apply_fast_train, interpret=interpret),
+                True,
+            )
+    if cfg.remat_chunk:
         if apply_fn is stacked_lstm_apply:
             return partial(stacked_lstm_apply, remat_chunk=cfg.remat_chunk), False
         if apply_fn is singular_lstm_apply:
             return partial(singular_lstm_apply, remat_chunk=cfg.remat_chunk), False
-        # conv hybrids carry the knob too (no training kernel exists for
-        # them, so the kernel branch above always falls through to here)
+        # conv hybrids carry the knob too (taken when recurrence_kernel is
+        # off — with it on, the kernel branch above catches them first)
         if apply_fn is conv_lstm_apply:
             return partial(conv_lstm_apply, remat_chunk=cfg.remat_chunk), False
         if apply_fn is conv_singular_apply:

@@ -155,9 +155,10 @@ def test_autotune_train_singular_uses_masked_step(model_x):
     assert "bf16_scan" in r.table and r.ms > 0
 
 
-def test_autotune_train_conv_hybrid_skips_kernel():
-    """Conv hybrids have no training kernel: the fused_kernel regime is
-    recorded in failed (not silently duplicated as a second scan)."""
+def test_autotune_train_conv_hybrid_measures_kernel():
+    """Round 4: conv hybrids route through the fused Pallas training
+    engine (ops/conv_train.py), so the fused_kernel regime is MEASURED —
+    no family records 'failed' for it anymore."""
     from svd_lstm_tpu.models.conv import init_conv_lstm
 
     hybrid = init_conv_lstm(
@@ -165,8 +166,8 @@ def test_autotune_train_conv_hybrid_skips_kernel():
     )
     x, y = _train_xy()
     r = at.autotune_train(hybrid, x, y, repeats=1)
-    assert "fused_kernel" in r.failed
-    assert not r.recurrence_kernel
+    assert "fused_kernel" in r.table
+    assert "fused_kernel" not in r.failed
 
 
 def test_tuned_train_flags_cache_roundtrip(model_x, tmp_path, monkeypatch):
@@ -186,3 +187,93 @@ def test_tuned_train_flags_cache_roundtrip(model_x, tmp_path, monkeypatch):
     assert at.tuned_train_flags(params, x, y, cache_path=cache) == (prec, kernel)
     monkeypatch.setattr(at, "_MEM_CACHE", {})
     assert at.tuned_train_flags(params, x, y, cache_path=cache) == (prec, kernel)
+
+
+# ----------------------------------------------- auto-dispatch consult --
+# VERDICT r3 #4: predict(impl='auto') consults the autotune cache so one
+# `tune` run redirects every later auto-dispatch on the same device.
+
+
+@pytest.fixture()
+def clean_cache(tmp_path, monkeypatch):
+    cache = str(tmp_path / "autotune.json")
+    monkeypatch.setattr(at, "_MEM_CACHE", {})
+    monkeypatch.setattr(at, "_DISK_MEMO", {})
+    monkeypatch.setattr(at, "default_cache_path", lambda: cache)
+    return cache
+
+
+def test_cached_impl_redirects_predict_auto(model_x, clean_cache, monkeypatch):
+    """A seeded device-keyed winner redirects predict(impl='auto') to the
+    measured path instead of the fitted table (which on CPU would run the
+    scan for this narrow batch-1 model)."""
+    import svd_lstm_tpu.ops.pallas_lstm as pk
+
+    params, x = model_x
+    at.store_tuned(at.cache_key(params, x, "exact"), "hybrid")
+
+    hits = {"n": 0}
+    orig = pk.dense_forward_hybrid
+
+    def spy(p, xx, **kw):
+        hits["n"] += 1
+        kw["interpret"] = True  # Pallas on the CI CPU
+        return orig(p, xx, **kw)
+
+    monkeypatch.setattr(pk, "dense_forward_hybrid", spy)
+    y = predict(params, x, impl="auto")
+    assert hits["n"] == 1, "cached winner not dispatched"
+    y_scan = predict(params, x, impl="scan")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_scan), atol=1e-5)
+
+    # consult_cache=False bypasses the lookup (autotune measures with it
+    # off so an entry cannot redirect the 'auto' candidate mid-measure)
+    predict(params, x, impl="auto", consult_cache=False)
+    assert hits["n"] == 1
+
+
+def test_cached_impl_reads_disk_never_measures(model_x, clean_cache, monkeypatch):
+    params, x = model_x
+    at.store_tuned(at.cache_key(params, x, "exact"), "fused")
+    monkeypatch.setattr(at, "_MEM_CACHE", {})  # force the disk layer
+
+    def boom(*a, **k):
+        raise AssertionError("cached_impl measured")
+
+    monkeypatch.setattr(at, "autotune", boom)
+    assert at.cached_impl(params, x, "exact") == "fused"
+    # a never-tuned shape returns None (no measurement, no exception)
+    assert at.cached_impl(params, x[:6], "exact") is None
+
+
+def test_stale_cache_entry_ignored(clean_cache):
+    """A cached winner that is invalid for the input (here 'fused' for a
+    wide model — its n<=128 rule) is ignored, not raised: predict falls
+    back to the fitted table."""
+    wide = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=4, units=(256,))
+    x = jax.random.normal(jax.random.PRNGKey(1), (12, 4))
+    at.store_tuned(at.cache_key(wide, x, "exact"), "fused")
+    y = predict(wide, x, impl="auto")  # would raise if 'fused' dispatched
+    y_scan = predict(wide, x, impl="scan")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_scan), atol=1e-5)
+
+
+def test_cached_train_flags_readonly(model_x, clean_cache, monkeypatch):
+    params, _ = model_x
+    x, _y = _train_xy()
+    assert at.cached_train_flags(params, x) is None
+    at.store_tuned(at.train_cache_key(params, x), "bfloat16|1")
+    monkeypatch.setattr(at, "_MEM_CACHE", {})  # force the disk layer
+    assert at.cached_train_flags(params, x) == ("bfloat16", True)
+
+
+def test_store_tuned_populates_memo(model_x, clean_cache, monkeypatch):
+    """The CLI's post-measurement store must hit the in-process memo too
+    (ADVICE r3: tune --train used to write disk only, so a same-process
+    tuned_train_flags re-read disk instead of the memo)."""
+    params, x = model_x
+    key = at.cache_key(params, x, "exact")
+    at.store_tuned(key, "scan")
+    assert at._MEM_CACHE[key] == "scan"
+    data = json.load(open(clean_cache))
+    assert data[key] == "scan"

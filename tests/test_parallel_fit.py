@@ -201,7 +201,8 @@ def test_finetune_reduced_dp_matches_single_device(data):
 
 def test_finetune_reduced_dp_conv_hybrid(data):
     """Family dispatch: the conv-hybrid reduced model trains through the
-    dp recovery loop (XLA scan — no training kernel exists for hybrids)."""
+    dp recovery loop — both the XLA scan and, since round 4, the fused
+    Pallas engine (ops/conv_train.py, interpret on CPU)."""
     from svd_lstm_tpu.factor.svd import (
         make_conv_reduced_model,
         make_conv_singular_model,
@@ -217,10 +218,13 @@ def test_finetune_reduced_dp_conv_hybrid(data):
     )
     cr = make_conv_reduced_model(make_conv_singular_model(hybrid), rank=6)
     mesh = make_mesh(dp=8, tp=1)
-    tcfg = TrainConfig(**CFG)
 
-    r_one = finetune_reduced(cr, X, y, train_cfg=tcfg)
-    r_dp = finetune_reduced_dp(cr, X, y, mesh, train_cfg=tcfg)
-    np.testing.assert_allclose(r_dp.history, r_one.history, rtol=1e-4)
-    for a, b in zip(jax.tree.leaves(r_dp.params), jax.tree.leaves(r_one.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    for kernel in (False, True):
+        tcfg = TrainConfig(**CFG, recurrence_kernel=kernel)
+        r_one = finetune_reduced(cr, X, y, train_cfg=tcfg)
+        r_dp = finetune_reduced_dp(cr, X, y, mesh, train_cfg=tcfg)
+        np.testing.assert_allclose(r_dp.history, r_one.history, rtol=1e-4)
+        for a, b in zip(
+            jax.tree.leaves(r_dp.params), jax.tree.leaves(r_one.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
