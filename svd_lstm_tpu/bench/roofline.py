@@ -35,6 +35,8 @@ from typing import Sequence
 V5E_VMEM_GBPS = 3720.0       # fitted VMEM streaming bandwidth (probe_chain_decomposition)
 CHAIN_NS_PER_STAGE = 95.0    # fitted per-layer dependent-stage latency, f32 matvec+gates
 V5E_MXU_MACS = 1.0e14 / 2    # ~100 TFLOP/s f32 → 50 T MAC/s
+V5E_HBM_GBPS = 819.0         # v5e HBM bandwidth (public spec)
+V5E_BF16_MACS = 197e12 / 2   # v5e bf16 peak → MAC/s (DEFAULT-precision dots)
 
 from svd_lstm_tpu.utils.linalg import LANE  # canonical lane width
 
@@ -151,3 +153,101 @@ def report(cost: StepCost, measured_us_per_step: float | None = None) -> str:
             f"({measured_us_per_step/cost.floor_us()*100:.0f}% of floor)"
         )
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Training-step floor model (VERDICT r3 next #3)
+#
+# The batched train kernels are a different regime from the batch-1
+# inference chain above: weights stay VMEM-resident, ACTIVATIONS stream
+# from HBM, and the MXU does real work per step. The two components are
+# therefore compute (executed MACs at the bf16 DEFAULT-precision peak)
+# and HBM streaming; the floor is their max (DMA overlaps compute on TPU).
+#
+# "Executed" MACs count what the kernels actually issue — including the
+# P-layout lane padding of the narrow whole-stack kernels (n=40 pads each
+# gate to 128 lanes: 3.2x lane waste; the 16-wide input pads to 128) and
+# the backward's gate recompute (the standard remat trade). model MACs
+# count the algorithmic fwd+bwd work (3x forward, the MFU convention), so
+#
+#   train_mfu        = model_flops / time / peak        (honest utilization)
+#   floor_fraction   = time / max(compute, bandwidth)   (>= 1; how close the
+#                      kernel runs to what its own layout could ever reach)
+#
+# The gap between the two IS the padding/remat price, stated rather than
+# hidden. Derivations of the per-step dot/stream counts are in the kernel
+# docstrings (ops/pallas_train_wide.py, ops/pallas_train_fused.py);
+# measured validation in BENCH_NOTES §"training floor".
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrainStepCost:
+    macs_executed: int   # MACs the kernels actually issue (padding + remat)
+    macs_model: int      # 3x forward algorithmic MACs (MFU convention)
+    hbm_bytes: int       # streamed activation bytes (weights are resident)
+
+    def compute_floor_ms(self) -> float:
+        return self.macs_executed / V5E_BF16_MACS * 1e3
+
+    def bandwidth_floor_ms(self) -> float:
+        return self.hbm_bytes / (V5E_HBM_GBPS * 1e9) * 1e3
+
+    def floor_ms(self) -> float:
+        return max(self.compute_floor_ms(), self.bandwidth_floor_ms())
+
+    def floor_fraction(self, measured_ms: float) -> float:
+        return measured_ms / self.floor_ms()
+
+    def mfu(self, measured_ms: float) -> float:
+        return (2 * self.macs_model) / (measured_ms * 1e-3) / (2 * V5E_BF16_MACS)
+
+
+def _model_train_macs(input_dim: int, units: Sequence[int], B: int, T: int) -> int:
+    """3x the forward's algorithmic MACs (standard training-FLOPs count)."""
+    fwd = 0
+    d = input_dim
+    for n in units:
+        fwd += B * T * (d * 4 * n + n * 4 * n)
+        d = n
+    return 3 * fwd
+
+
+def wide_train_step_cost(
+    input_dim: int, units: Sequence[int], B: int, T: int
+) -> TrainStepCost:
+    """Fused-layer wide path (ops/pallas_train_wide.py): per layer-step the
+    fwd issues 2 dots and the bwd 6 (z recompute x2, dh, dx, dW^T, dU^T),
+    each B*n*4n MACs (layer-1's W zero-padded d->n); streams 3 (B, n)
+    blocks fwd + 6 bwd."""
+    n = units[0]
+    assert all(u == n for u in units), "uniform stacks only"
+    L = len(units)
+    macs = 8 * L * B * T * n * 4 * n
+    bytes_ = 9 * L * B * T * n * 4
+    return TrainStepCost(
+        macs_executed=macs,
+        macs_model=_model_train_macs(input_dim, units, B, T),
+        hbm_bytes=bytes_,
+    )
+
+
+def narrow_train_step_cost(
+    input_dim: int, units: Sequence[int], B: int, T: int
+) -> TrainStepCost:
+    """Whole-stack narrow kernels (ops/pallas_train_fused.py): P-layout,
+    every operand padded to 128 lanes. Per step: fwd 2L dots, bwd 6L
+    (recompute 2L, dW/dU/dh-carry 3L, inter-layer dz@W^T L-1, final dx 1),
+    each B*128*512 MACs; streams (1+2L) blocks fwd + (3+4L) bwd, each
+    (B, 128) f32. B > 496 runs ceil(B/256)-balanced chunks — same
+    per-sample cost on the padded rows."""
+    L = len(units)
+    assert all(u <= LANE for u in units) and input_dim <= LANE
+    Bp = -(-B // 8) * 8  # kernel pads rows to 8
+    macs = 8 * L * Bp * T * LANE * 4 * LANE
+    bytes_ = ((1 + 2 * L) + (3 + 4 * L)) * Bp * T * LANE * 4
+    return TrainStepCost(
+        macs_executed=macs,
+        macs_model=_model_train_macs(input_dim, units, B, T),
+        hbm_bytes=bytes_,
+    )

@@ -325,6 +325,7 @@ def stacked_lstm_apply_fast_train(
     x_seq: jax.Array,
     return_sequences: bool = True,
     interpret: bool = False,
+    wide_fused: bool = True,
 ) -> jax.Array:
     """Drop-in ``apply_fn`` for ``train.loop.fit`` running the recurrences
     through the trainable Pallas kernel pair. Dots are DEFAULT-precision —
@@ -342,9 +343,12 @@ def stacked_lstm_apply_fast_train(
       (ops/pallas_train_fused.py), inter-layer projections in-kernel.
     * **uniform lane-aligned stack** (every layer the same n, n % 128 == 0)
       — ``lax.scan`` over stacked per-layer weights, whose body holds the
-      ONE fwd kernel instance (and its transpose the one bwd instance).
-      Layer 1's W is zero-row-padded from d to n and x zero-column-padded
-      — exact, the pads contribute nothing.
+      ONE fully-fused layer kernel (ops/pallas_train_wide.py: x-projection
+      AND weight grads in-kernel, no (T, B, 4n) HBM arrays, no
+      differentiated XLA matmul in the body at all). Layer 1's W is
+      zero-row-padded from d to n and x zero-column-padded — exact, the
+      pads contribute nothing. ``wide_fused=False`` keeps the round-3
+      split form (XLA xp matmul + recurrence-only kernel) for A/B probes.
     * exactly one aligned layer — per-layer loop, kernel pair on it.
     * otherwise — the XLA scan everywhere (narrow models don't benefit
       from the kernel anyway; mixed wide stacks hit the compiler bug).
@@ -415,11 +419,21 @@ def stacked_lstm_apply_fast_train(
         Us = jnp.stack([l.U for l in params.layers])
         bs = jnp.stack([l.b for l in params.layers])
 
-        def body(hh, wub):
-            W, U, b = wub
-            xp = jnp.dot(hh, W, precision=DEF) + b
-            hh = lstm_recurrence_trainable(xp, U, DEFAULT_BT, interpret)
-            return hh, 0.0
+        if wide_fused:
+            from svd_lstm_tpu.ops.pallas_train_wide import wide_layer_trainable
+
+            def body(hh, wub):
+                W, U, b = wub
+                hh = wide_layer_trainable(hh, W, U, b, interpret=interpret)
+                return hh, 0.0
+
+        else:
+
+            def body(hh, wub):
+                W, U, b = wub
+                xp = jnp.dot(hh, W, precision=DEF) + b
+                hh = lstm_recurrence_trainable(xp, U, DEFAULT_BT, interpret)
+                return hh, 0.0
 
         h, _ = jax.lax.scan(body, h, (Ws, Us, bs))
     else:

@@ -84,9 +84,9 @@ def test_fit_recurrence_kernel_config_flag(rng):
 
 def test_apply_fast_train_uniform_stack_scan_path(rng):
     """Uniform lane-aligned WIDE stacks (n > 128) take the scan-over-layers
-    path (one kernel instance per direction; layer-1 zero-padding is
-    exact). Narrow stacks route to the fused whole-stack kernel instead
-    (test below)."""
+    path whose body is the fully-fused layer kernel
+    (ops/pallas_train_wide.py; layer-1 zero-padding is exact). Narrow
+    stacks route to the fused whole-stack kernel instead (test below)."""
     params = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=6, units=(256, 256))
     x = jnp.asarray(rng.normal(size=(8, 5, 6)).astype(np.float32))
     y_ref = np.asarray(stacked_lstm_apply(params, x, return_sequences=True))
