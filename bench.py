@@ -337,6 +337,22 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
         p, xx, return_sequences=return_sequences, interpret=interpret
     )
 
+    from svd_lstm_tpu.bench.roofline import (
+        narrow_train_step_cost,
+        wide_train_step_cost,
+    )
+
+    def add_floor(entry, cost, key):
+        """floor_fraction (vs the kernel-layout two-component floor) and
+        train MFU (model FLOPs over the v5e bf16 peak) for the kernel row
+        (VERDICT r3 next #3). TPU-only: the floor constants are hardware."""
+        if not on_tpu:
+            return
+        ms = entry[key]
+        entry["floor_ms"] = round(cost.floor_ms(), 4)
+        entry["floor_fraction"] = round(cost.floor_fraction(ms), 3)
+        entry["train_mfu"] = round(cost.mfu(ms), 4)
+
     out = {"config": f"4x40 T={TRAIN_T}, full step incl. adam; epoch = 20000 windows"}
     for B in (TRAIN_B, TRAIN_B_BIG):
         x = jnp.asarray(rng.normal(size=(B, TRAIN_T, INPUT_DIM)), jnp.float32)
@@ -354,13 +370,18 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
         entry["kernel_speedup_vs_f32"] = round(
             entry["f32_scan_ms"] / entry["fused_kernel_ms"], 3
         )
+        add_floor(
+            entry, narrow_train_step_cost(INPUT_DIM, UNITS, B, TRAIN_T),
+            "fused_kernel_ms",
+        )
         log(f"[train] B={B}: {entry}")
         out[f"B{B}"] = entry
 
     # the wide 3×512 train step (VERDICT r2 next #2's second half): same
     # three paths at the BASELINE stretch width, B=128/T=200. The kernel
-    # path is the scan-over-stacked-weights form (one kernel instance per
-    # direction — the Mosaic-crash workaround, BENCH_NOTES §wide-step).
+    # path scans the fully-fused layer kernel over stacked weights
+    # (ops/pallas_train_wide.py: x-projection + weight grads in-kernel, no
+    # (T, B, 4n) HBM arrays — round 4; BENCH_NOTES §training floor).
     wunits = tuple(int(u) for u in WIDE_UNITS)
     wparams = init_stacked_lstm(jax.random.PRNGKey(4), INPUT_DIM, wunits)
     ws0 = opt.init(wparams)
@@ -378,6 +399,10 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
         wide[name + "_ms"] = round(ms, 4)
     wide["kernel_speedup_vs_f32"] = round(
         wide["f32_scan_ms"] / wide["fused_kernel_ms"], 3
+    )
+    add_floor(
+        wide, wide_train_step_cost(INPUT_DIM, wunits, WIDE_TRAIN_B, TRAIN_T),
+        "fused_kernel_ms",
     )
     log(f"[train] wide {wide['config']}: {wide}")
     out["wide"] = wide
@@ -403,6 +428,13 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
     ft["kernel_speedup_vs_f32"] = round(
         ft["f32_scan_ms"] / ft["fused_kernel_ms"], 3
     )
+    # the reconstruction W=(UΣ)V adds a handful of (n, 4n)-sized dots per
+    # STEP CALL (not per timestep) — negligible next to the T=200 sweep,
+    # so the dense narrow cost model applies to the fine-tune rows too
+    add_floor(
+        ft, narrow_train_step_cost(INPUT_DIM, UNITS, TRAIN_B, TRAIN_T),
+        "fused_kernel_ms",
+    )
     log(f"[train] singular finetune B={TRAIN_B}: {ft}")
     out["singular_finetune"] = ft
 
@@ -422,6 +454,10 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
         ftb[name + "_ms"] = round(ms, 4)
     ftb["kernel_speedup_vs_f32"] = round(
         ftb["f32_scan_ms"] / ftb["chunked_kernel_ms"], 3
+    )
+    add_floor(
+        ftb, narrow_train_step_cost(INPUT_DIM, UNITS, TRAIN_B_BIG, TRAIN_T),
+        "chunked_kernel_ms",
     )
     log(f"[train] singular finetune B={TRAIN_B_BIG} (chunked): {ftb}")
     out["singular_finetune_big"] = ftb
@@ -447,6 +483,10 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
         rec[name + "_ms"] = round(ms, 4)
     rec["kernel_speedup_vs_f32"] = round(
         rec["f32_scan_ms"] / rec["fused_kernel_ms"], 3
+    )
+    add_floor(
+        rec, narrow_train_step_cost(INPUT_DIM, UNITS, TRAIN_B, TRAIN_T),
+        "fused_kernel_ms",
     )
     log(f"[train] reduced recovery B={TRAIN_B}: {rec}")
     out["reduced_recover"] = rec

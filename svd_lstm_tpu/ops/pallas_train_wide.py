@@ -14,19 +14,17 @@ This module eliminates ALL (T, B, 4n) HBM arrays and the shift copies:
 * **forward** — W, U, b resident in VMEM; per step ``z = x_t@W + h@U + b``
   computed in-kernel; streams x (n wide) in, h/c (n wide) out.
 * **backward** — W, U resident; recomputes z from ``(x_t, h_prev)``
-  (standard remat, two dots). One block transpose of dz per step, then
-  every remaining dot is a PLAIN matmul on the weights AS STORED:
-  ``dh_prev = (U @ dz^T)^T``, ``dx = (W @ dz^T)^T``, and the accumulators
-  hold ``dW^T = sum dz^T @ x`` / ``dU^T = sum dz^T @ h_prev`` in f32 VMEM
-  scratch across the whole (batch-tile, time) grid, written out once and
-  transposed once in XLA. (A transposed-contraction ``dot_general`` on a
-  resident (n, 4n) weight relayouts ~1M elements EVERY grid step —
-  measured 2x slower end-to-end; explicit W^T/U^T residents don't fit:
-  W+U+W^T+U^T+dW+dU = 24 MB f32 crashes the compiler where the 16 MB
-  residency compiles.) ``h_prev`` / ``c_prev`` are read from the
-  forward's own outputs through a shifted block index map
-  (``max(T-2-t, 0)``, first-step value masked to zero) — no concat
-  copies.
+  (standard remat, two dots); ``dx = dz@W^T`` / ``dh_prev = dz@U^T`` and
+  the dW/dU accumulations run as transposed-contraction ``dot_general``
+  on the SAME resident weights (measured FASTER than explicit per-step
+  dz block transposes: 11.8 vs 14.3 ms full step — Mosaic feeds the MXU
+  transposed operands natively); dW/dU/db accumulate in f32 VMEM scratch
+  across the whole (batch-tile, time) grid, written out once.
+  ``h_prev`` / ``c_prev`` are read from the forward's own outputs through
+  a shifted block index map (``max(T-2-t, 0)``, first-step value masked
+  to zero) — no concat copies. The residents + accumulators need ~26 MB
+  of scoped VMEM at n=512 (above the 16 MB compiler DEFAULT, inside the
+  hardware) — raised via ``CompilerParams(vmem_limit_bytes=...)``.
 
 All dots run on f32 VMEM operands at ``precision=DEFAULT`` (single-pass
 bf16 multiply, f32 accumulate) — the same numerics contract as every
@@ -63,9 +61,15 @@ from svd_lstm_tpu.ops.pallas_batched import DEFAULT_BT, _ceil_to
 F32 = jnp.float32
 DEF = jax.lax.Precision.DEFAULT
 
-# backward holds W, U + the dW, dU accumulators (all f32) resident ->
-# smaller batch tile than the forward's
-DEFAULT_WIDE_BWD_BT = 64
+# dot_general contractions: (B, 4n) x (n, 4n) -> (B, n)  ("@ rhs^T")
+_T_RHS = (((1,), (1,)), ((), ()))
+# (B, n) x (B, 4n) -> (n, 4n)  ("lhs^T @")
+_T_LHS = (((0,), (0,)), ((), ()))
+
+# backward batch tile: 128 measured best at n=512/B=128 (9.90 ms full
+# step vs 11.79 at BT=64 — one reverse sweep instead of two; the raised
+# vmem_limit_bytes makes the residency fit; scripts/probe_wide_bt_bwd.py)
+DEFAULT_WIDE_BWD_BT = 128
 
 def _pad_rows(a: jax.Array, T: int, B: int, Bp: int) -> jax.Array:
     """(T, B, w) -> (T*Bp, w) with zero rows appended per timestep."""
@@ -168,21 +172,19 @@ def _wide_bwd(x, W, U, b, h_seq, c_seq, dh_seq, bt: int, interpret: bool):
             + b_ref[:]
         )
         dz, dc_new = gate_update_bwd(z, cp, ct_ref[:], dh, dc_scr[:])
-        # One block transpose of dz per step (cheap VPU shuffle), then
-        # every dot is a PLAIN matmul on the weights AS STORED — a
-        # transposed-contraction dot_general on a resident (n, 4n) weight
-        # relayouts ~1M elements every grid step and measured 2x slower
-        # end-to-end (scripts/probe_train_wide_fused.py round 4).
-        dzT = dz.T  # (4n, BT)
-        dh_scr[:] = jnp.dot(u_ref[:], dzT, precision=DEF,
-                            preferred_element_type=F32).T  # (dz @ U^T)
+        # Transposed-contraction dot_general on the resident weights —
+        # measured FASTER than explicit per-step block transposes of dz
+        # (11.8 vs 14.3 ms full step at 3x512/B=128: Mosaic feeds the MXU
+        # transposed operands natively; scripts/probe_train_wide_fused.py)
+        dh_scr[:] = jax.lax.dot_general(dz, u_ref[:], _T_RHS, precision=DEF,
+                                        preferred_element_type=F32)
         dc_scr[:] = dc_new
-        dx_ref[:] = jnp.dot(w_ref[:], dzT, precision=DEF,
-                            preferred_element_type=F32).T  # (dz @ W^T)
-        dw_scr[:] += jnp.dot(dzT, x_ref[:], precision=DEF,
-                             preferred_element_type=F32)  # (x^T @ dz)^T
-        du_scr[:] += jnp.dot(dzT, hp, precision=DEF,
-                             preferred_element_type=F32)  # (hp^T @ dz)^T
+        dx_ref[:] = jax.lax.dot_general(dz, w_ref[:], _T_RHS, precision=DEF,
+                                        preferred_element_type=F32)
+        dw_scr[:] += jax.lax.dot_general(x_ref[:], dz, _T_LHS, precision=DEF,
+                                         preferred_element_type=F32)
+        du_scr[:] += jax.lax.dot_general(hp, dz, _T_LHS, precision=DEF,
+                                         preferred_element_type=F32)
         db_scr[:] += jnp.broadcast_to(
             jnp.sum(dz, axis=0, keepdims=True), (8, g4)
         )
@@ -210,20 +212,27 @@ def _wide_bwd(x, W, U, b, h_seq, c_seq, dh_seq, bt: int, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=[bspec(rev), wspec((g4, n)), wspec((g4, n)), wspec((8, g4))],
+        out_specs=[bspec(rev), wspec((n, g4)), wspec((n, g4)), wspec((8, g4))],
         out_shape=[
             jax.ShapeDtypeStruct((T * Bp, n), F32),
-            jax.ShapeDtypeStruct((g4, n), F32),  # dW^T
-            jax.ShapeDtypeStruct((g4, n), F32),  # dU^T
+            jax.ShapeDtypeStruct((n, g4), F32),
+            jax.ShapeDtypeStruct((n, g4), F32),
             jax.ShapeDtypeStruct((8, g4), F32),
         ],
         scratch_shapes=[
             pltpu.VMEM((BT, n), F32),
             pltpu.VMEM((BT, n), F32),
-            pltpu.VMEM((g4, n), F32),
-            pltpu.VMEM((g4, n), F32),
+            pltpu.VMEM((n, g4), F32),
+            pltpu.VMEM((n, g4), F32),
             pltpu.VMEM((8, g4), F32),
         ],
+        # W+U residents + dW^T/dU^T accumulators are 16 MB f32 at n=512;
+        # with the per-step dz/dzT temporaries the kernel needs ~26 MB of
+        # scoped VMEM — above the 16 MB DEFAULT limit but well inside the
+        # hardware (measured: compiles and runs with the raised limit)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         _pad_rows(x.astype(F32), T, B, Bp),
@@ -237,8 +246,8 @@ def _wide_bwd(x, W, U, b, h_seq, c_seq, dh_seq, bt: int, interpret: bool):
     )
     return (
         dx.reshape(T, Bp, n)[:, :B],
-        dW.T,  # accumulated transposed in-kernel; one XLA transpose out
-        dU.T,
+        dW,
+        dU,
         db8[0],
     )
 

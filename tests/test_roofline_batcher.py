@@ -23,6 +23,40 @@ class TestRoofline:
         s = report(dense_step_cost(16, (40,) * 4), measured_us_per_step=0.664)
         assert "roofline" in s and "ns/step" in s
 
+    def test_train_cost_wide_vs_narrow(self):
+        from svd_lstm_tpu.bench.roofline import (
+            narrow_train_step_cost,
+            wide_train_step_cost,
+        )
+
+        w = wide_train_step_cost(16, (512,) * 3, B=128, T=200)
+        # per layer-step: 8 dots of B*n*4n MACs, 9 (B, n) f32 blocks
+        assert w.macs_executed == 8 * 3 * 128 * 200 * 512 * 4 * 512
+        assert w.hbm_bytes == 9 * 3 * 128 * 200 * 512 * 4
+        # wide training is compute-bound in this layout
+        assert w.compute_floor_ms() > w.bandwidth_floor_ms()
+        # model MACs = 3x forward
+        d, fwd = 16, 0
+        for n in (512,) * 3:
+            fwd += 128 * 200 * (d * 4 * n + n * 4 * n)
+            d = n
+        assert w.macs_model == 3 * fwd
+
+        nar = narrow_train_step_cost(16, (40,) * 4, B=512, T=200)
+        # P-layout padding: executed MACs dwarf model MACs at n=40
+        assert nar.macs_executed > 5 * nar.macs_model
+        # floor_fraction / mfu are monotone in measured time
+        assert nar.floor_fraction(4.0) > nar.floor_fraction(2.5) > 0
+        assert 0 < nar.mfu(4.0) < nar.mfu(2.5) < 1
+
+    def test_train_cost_narrow_rounds_batch_to_8(self):
+        from svd_lstm_tpu.bench.roofline import narrow_train_step_cost
+
+        a = narrow_train_step_cost(16, (40,) * 4, B=9, T=10)
+        b = narrow_train_step_cost(16, (40,) * 4, B=16, T=10)
+        assert a.macs_executed == b.macs_executed  # 9 -> 16 padded rows
+        assert a.macs_model < b.macs_model  # model MACs count true B
+
 
 class TestMultiRunBatcher:
     def test_shapes_and_run_sampling(self):
