@@ -1,0 +1,92 @@
+"""Compact-layout fused train kernels (ops/pallas_train_compact.py):
+interpret-mode forward + gradient parity with autodiff of the f32 scan
+(DEF dots are exact f32 on CPU, so tolerances are tight)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
+from svd_lstm_tpu.ops.pallas_train_compact import (
+    compact_eligible,
+    fused_narrow_train_apply_compact,
+)
+
+
+@pytest.mark.parametrize("units", [(40, 30, 40), (30, 30), (15, 15, 15)])
+def test_compact_forward_matches_scan(rng, units):
+    """Mixed gate-group sizes (n=40 -> k=2, n=30/15 -> k=4)."""
+    params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=16, units=units)
+    assert compact_eligible(params, 16)
+    x = jnp.asarray(rng.normal(size=(8, 7, 16)).astype(np.float32))
+    ref = np.asarray(stacked_lstm_apply(params, x, return_sequences=True))
+    got = np.asarray(
+        fused_narrow_train_apply_compact(params, x, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    last = np.asarray(
+        fused_narrow_train_apply_compact(
+            params, x, return_sequences=False, interpret=True
+        )
+    )
+    np.testing.assert_allclose(last, ref[:, -1], atol=1e-5)
+
+
+def test_compact_gradients_match_autodiff(rng):
+    params = init_stacked_lstm(
+        jax.random.PRNGKey(1), input_dim=16, units=(40, 30, 40)
+    )
+    x = jnp.asarray(rng.normal(size=(8, 6, 16)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+
+    def loss(apply_fn):
+        def f(p):
+            pred = apply_fn(p, x, return_sequences=False)[..., 0]
+            return jnp.mean((pred - y) ** 2)
+
+        return f
+
+    import functools
+
+    g_k = jax.grad(
+        loss(functools.partial(fused_narrow_train_apply_compact, interpret=True))
+    )(params)
+    g_r = jax.grad(loss(stacked_lstm_apply))(params)
+    for a, b, path in zip(
+        jax.tree.leaves(g_k),
+        jax.tree.leaves(g_r),
+        jax.tree_util.tree_leaves_with_path(g_r),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5,
+            err_msg=jax.tree_util.keystr(path[0]),
+        )
+
+
+def test_compact_gradients_x_and_seq_loss(rng):
+    """return_sequences loss (cotangent on every step) + input gradient."""
+    params = init_stacked_lstm(jax.random.PRNGKey(2), input_dim=4, units=(40,))
+    x = jnp.asarray(rng.normal(size=(8, 5, 4)).astype(np.float32))
+
+    def loss(apply_fn):
+        def f(xx):
+            return jnp.sum(apply_fn(params, xx, return_sequences=True) ** 2)
+
+        return f
+
+    import functools
+
+    g_k = jax.grad(
+        loss(functools.partial(fused_narrow_train_apply_compact, interpret=True))
+    )(x)
+    g_r = jax.grad(loss(stacked_lstm_apply))(x)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r), atol=2e-5)
+
+
+def test_compact_eligibility_rules(rng):
+    p65 = init_stacked_lstm(jax.random.PRNGKey(3), input_dim=16, units=(65, 65))
+    assert not compact_eligible(p65, 16)  # 2*65 > 128 -> k=1
+    p40 = init_stacked_lstm(jax.random.PRNGKey(4), input_dim=16, units=(40,))
+    assert compact_eligible(p40, 16)
+    assert not compact_eligible(p40, 200)  # input wider than one block

@@ -215,14 +215,33 @@ def test_train_kernel_narrow_compiled(dense_model):
 
 
 def test_train_kernel_uniform_wide_compiled():
-    """Lane-aligned uniform stack: scan-over-stacked-weights with ONE
-    kernel instance per direction (the wide training path)."""
+    """Lane-aligned uniform stack: scan-over-layers whose body is the
+    fully-fused layer kernel (ops/pallas_train_wide.py, round 4)."""
     from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
     from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
 
     wp = init_stacked_lstm(jax.random.PRNGKey(5), D, (128, 128))
     _grad_parity(wp, stacked_lstm_apply_fast_train, stacked_lstm_apply,
                  B=16, T=8)
+
+
+def test_train_kernel_wide_fused_vs_split_compiled():
+    """The fused-layer path (x-projection + weight grads in-kernel) and
+    the round-3 split form must produce the same compiled training step:
+    loss and every gradient leaf (both run DEFAULT-precision dots, so
+    parity is tight, not bf16-class)."""
+    import functools
+
+    from svd_lstm_tpu.models.lstm import init_stacked_lstm
+    from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
+
+    wp = init_stacked_lstm(jax.random.PRNGKey(7), D, (256, 256))
+    _grad_parity(
+        wp,
+        functools.partial(stacked_lstm_apply_fast_train, wide_fused=True),
+        functools.partial(stacked_lstm_apply_fast_train, wide_fused=False),
+        B=16, T=8, rtol=2e-3,
+    )
 
 
 def test_singular_finetune_kernel_compiled(singular_model):
