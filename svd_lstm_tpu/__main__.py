@@ -256,12 +256,15 @@ def _tune(argv):
         print(
             "TrainConfig flags: "
             f"matmul_precision={r.matmul_precision!r}, "
-            f"recurrence_kernel={r.recurrence_kernel}"
+            f"recurrence_kernel={r.recurrence_kernel}, "
+            f"compact_gates={r.compact_gates}"
         )
         if not args.no_cache:
             cache = at.store_tuned(
                 at.train_cache_key(params, x),
-                f"{r.matmul_precision}|{int(r.recurrence_kernel)}",
+                at.encode_train_flags(
+                    r.matmul_precision, r.recurrence_kernel, r.compact_gates
+                ),
             )
             print(f"cached -> {cache}")
         return

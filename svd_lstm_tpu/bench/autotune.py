@@ -239,16 +239,28 @@ def cached_impl(
 
 def cached_train_flags(
     params, x, cache_path: str | None = None
-) -> tuple[str, bool] | None:
-    """The measured-best ``(matmul_precision, recurrence_kernel)``
-    TrainConfig flags for this (model, window shape, device) if ever
-    tuned (``tune --train`` / ``tuned_train_flags``), else None — the
-    read-only training analog of :func:`cached_impl`."""
+) -> tuple[str, bool, bool] | None:
+    """The measured-best ``(matmul_precision, recurrence_kernel,
+    compact_gates)`` TrainConfig flags for this (model, window shape,
+    device) if ever tuned (``tune --train`` / ``tuned_train_flags``),
+    else None — the read-only training analog of :func:`cached_impl`."""
     val = _cached_value(train_cache_key(params, x), cache_path)
     if val is None:
         return None
-    prec, kernel = val.rsplit("|", 1)
-    return prec, bool(int(kernel))
+    return _decode_train_flags(val)
+
+
+def encode_train_flags(prec: str, kernel: bool, compact: bool) -> str:
+    return f"{prec}|{int(kernel)}|{int(compact)}"
+
+
+def _decode_train_flags(val: str) -> tuple[str, bool, bool]:
+    """Decode ``prec|kernel[|compact]`` (compact absent in pre-round-4
+    cache entries -> False)."""
+    parts = val.split("|")
+    prec, kernel = parts[0], bool(int(parts[1]))
+    compact = bool(int(parts[2])) if len(parts) > 2 else False
+    return prec, kernel, compact
 
 
 def store_tuned(key: str, value: str, cache_path: str | None = None) -> str:
@@ -300,21 +312,26 @@ class TrainTuneResult(NamedTuple):
     ms: float                      # its measured full-step device time
     table: dict[str, float]        # regime -> ms for every candidate
     failed: dict[str, str]         # regime -> error for candidates that died
+    compact_gates: bool = False    # winning TrainConfig.compact_gates
 
 
-# (name, TrainConfig.matmul_precision, TrainConfig.recurrence_kernel).
+# (name, TrainConfig.matmul_precision, TrainConfig.recurrence_kernel,
+# TrainConfig.compact_gates).
 # f32_scan is the exact regime — measured for context, never the winner:
 # exact training has exactly one implementation, so there is nothing to
 # tune there. The relaxed regimes share one numerics class (single-pass
 # bf16 dots, f32 accumulation) and genuinely compete: the fused kernel
 # wins the narrow/uniform stacks it supports (every family — dense,
 # singular, reduced, conv hybrids), the bf16 scan wins wherever the
-# kernel dispatch falls back (mixed wide stacks).
+# kernel dispatch falls back (mixed wide stacks); the compact-layout
+# kernel competes on the narrow dense stacks whose gates pack >= 2 per
+# 128-lane block (ops/pallas_train_compact.py).
 _TRAIN_REGIMES = (
-    ("f32_scan", "float32", False),
-    ("tf32_scan", "tensorfloat32", False),
-    ("bf16_scan", "bfloat16", False),
-    ("fused_kernel", "bfloat16", True),
+    ("f32_scan", "float32", False, False),
+    ("tf32_scan", "tensorfloat32", False, False),
+    ("bf16_scan", "bfloat16", False, False),
+    ("fused_kernel", "bfloat16", True, False),
+    ("fused_kernel_compact", "bfloat16", True, True),
 )
 
 
@@ -423,12 +440,19 @@ def autotune_train(
 
     table: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for name, prec, kernel in _TRAIN_REGIMES:
+    for name, prec, kernel, comp in _TRAIN_REGIMES:
         if name == "f32_scan" and not include_exact:
             continue
         if kernel:
+            if comp and not _compact_candidate(params, x):
+                # the compact apply would silently fall through to the
+                # P-layout here — measuring the same program twice would
+                # pick a winner by noise
+                failed[name] = "compact layout ineligible for this model"
+                continue
             apply_fn, using_kernel = resolve_train_apply_fn(
-                TrainConfig(recurrence_kernel=True), base_apply
+                TrainConfig(recurrence_kernel=True, compact_gates=comp),
+                base_apply,
             )
             if not using_kernel:
                 failed[name] = "no training kernel for this model family"
@@ -454,15 +478,27 @@ def autotune_train(
     if not relaxed:
         raise RuntimeError(f"every relaxed training regime failed: {failed}")
     best = min(relaxed, key=relaxed.get)
-    prec, kernel = {
-        n: (p, k) for n, p, k in _TRAIN_REGIMES
+    prec, kernel, comp = {
+        n: (p, k, c) for n, p, k, c in _TRAIN_REGIMES
     }[best]
     return TrainTuneResult(
         matmul_precision=prec,
         recurrence_kernel=kernel,
+        compact_gates=comp,
         ms=relaxed[best],
         table=table,
         failed=failed,
+    )
+
+
+def _compact_candidate(params, x) -> bool:
+    """Whether the compact-layout train regime is a distinct program for
+    this model: dense family only (the singular/reduced/conv engines run
+    their own dense-view kernels) and the stack must pack."""
+    from svd_lstm_tpu.ops.pallas_train_compact import compact_eligible
+
+    return _family(params) == "dense" and compact_eligible(
+        params, int(x.shape[-1])
     )
 
 
@@ -484,20 +520,22 @@ def train_cache_key(params, x) -> str:
 
 def tuned_train_flags(
     params, x, y, cache_path: str | None = None
-) -> tuple[str, bool]:
-    """Measured-best ``(matmul_precision, recurrence_kernel)`` TrainConfig
-    flags for this (model, window shape, device) — measured once, then
-    served from the same in-memory/disk cache as ``tuned_impl``. Apply as
-    ``dataclasses.replace(cfg, matmul_precision=p, recurrence_kernel=k)``."""
+) -> tuple[str, bool, bool]:
+    """Measured-best ``(matmul_precision, recurrence_kernel,
+    compact_gates)`` TrainConfig flags for this (model, window shape,
+    device) — measured once, then served from the same in-memory/disk
+    cache as ``tuned_impl``. Apply as ``dataclasses.replace(cfg,
+    matmul_precision=p, recurrence_kernel=k, compact_gates=c)``."""
     if cache_path is None:
         cache_path = default_cache_path()
     key = train_cache_key(params, x)
     val = _cached_value(key, cache_path)
     if val is None:
         r = autotune_train(params, x, y, include_exact=False)
-        val = f"{r.matmul_precision}|{int(r.recurrence_kernel)}"
+        val = encode_train_flags(
+            r.matmul_precision, r.recurrence_kernel, r.compact_gates
+        )
         if cache_path:
             _store_disk(cache_path, key, val)
     _MEM_CACHE[key] = val
-    prec, kernel = val.rsplit("|", 1)
-    return prec, bool(int(kernel))
+    return _decode_train_flags(val)

@@ -66,6 +66,15 @@ class TrainConfig:
     # ops/singular_train.py); dropout fine-tunes keep the XLA scan. See
     # BENCH_NOTES for the measured train-step speedups.
     recurrence_kernel: bool = False
+    # With recurrence_kernel on, run eligible narrow DENSE stacks through
+    # the compact-gate-layout train kernels (ops/pallas_train_compact.py:
+    # k gates per 128-lane block instead of one — at n=40 the P-layout
+    # burns 3.2x the MXU lanes on padding). Dense family only; stacks the
+    # compact layout cannot hold (any layer with gate_group_size < 2, or
+    # inputs wider than one lane block) silently keep the P-layout.
+    # Measured A/B on-chip decides the default; `tune --train` measures it
+    # per model (BENCH_NOTES round-4 compact section).
+    compact_gates: bool = False
     # Chunked-time activation rematerialization for the XLA-scan train step
     # (jax.checkpoint around inner scans of this many steps): BPTT then
     # saves only raw input chunks + chunk-boundary (h, c) carries and

@@ -320,12 +320,41 @@ def _trainable_bwd(res, dh_seq):
     return dxp, jnp.sum(dU_t, axis=0)
 
 
+def _chunked_narrow(apply_one, params, x_seq, return_sequences, interpret, B):
+    """Balanced ~256-row independent chunks past the measured whole-batch
+    cliff (B=512: 2x256 = 4.27-4.30 ms, vs 5.42 for the whole batch where
+    it compiles at all; B=1024 whole doesn't compile —
+    scripts/probe_train_dense_chunk.py, probe_finetune_b512_chunk.py).
+    Rows are independent, so gradients through the concat are exact and
+    zero-padded rows get zero cotangent. Shared by the P-layout and
+    compact narrow paths."""
+    k = -(-B // _TRAIN_CHUNK)
+    c = -(-(-(-B // k)) // 8) * 8  # ceil(B/k) rounded up to 8 rows
+    pad = k * c - B
+    if pad:
+        x_seq = jnp.concatenate(
+            [x_seq, jnp.zeros((pad,) + x_seq.shape[1:], x_seq.dtype)],
+            axis=0,
+        )
+    outs = [
+        apply_one(
+            params,
+            x_seq[i * c : (i + 1) * c],
+            return_sequences=return_sequences,
+            interpret=interpret,
+        )
+        for i in range(k)
+    ]
+    return jnp.concatenate(outs, axis=0)[:B]
+
+
 def stacked_lstm_apply_fast_train(
     params: StackedLSTMParams,
     x_seq: jax.Array,
     return_sequences: bool = True,
     interpret: bool = False,
     wide_fused: bool = True,
+    compact: bool = False,
 ) -> jax.Array:
     """Drop-in ``apply_fn`` for ``train.loop.fit`` running the recurrences
     through the trainable Pallas kernel pair. Dots are DEFAULT-precision —
@@ -341,6 +370,9 @@ def stacked_lstm_apply_fast_train(
     * **narrow stack** (every layer n <= 128, input dim <= 128 — the
       reference's model zoo) — ONE fused whole-stack kernel per direction
       (ops/pallas_train_fused.py), inter-layer projections in-kernel.
+      With ``compact=True`` (TrainConfig.compact_gates) eligible stacks
+      use the compact-gate-layout kernel pair instead
+      (ops/pallas_train_compact.py; same chunking past the batch cliff).
     * **uniform lane-aligned stack** (every layer the same n, n % 128 == 0)
       — ``lax.scan`` over stacked per-layer weights, whose body holds the
       ONE fully-fused layer kernel (ops/pallas_train_wide.py: x-projection
@@ -358,34 +390,31 @@ def stacked_lstm_apply_fast_train(
     units = [l.units for l in params.layers]
     B, _, d_in = x_seq.shape
     narrow = is_narrow(params, d_in)
+    if compact and narrow:
+        # compact gate layout (k gates per 128-lane block) when the stack
+        # fits it — otherwise fall through to the P-layout paths below
+        from svd_lstm_tpu.ops.pallas_train_compact import (
+            compact_eligible,
+            fused_narrow_train_apply_compact,
+        )
+
+        if compact_eligible(params, d_in) and B % 8 == 0:
+            if B > _MAX_WHOLE_BATCH:
+                return _chunked_narrow(
+                    fused_narrow_train_apply_compact,
+                    params, x_seq, return_sequences, interpret, B,
+                )
+            return fused_narrow_train_apply_compact(
+                params, x_seq,
+                return_sequences=return_sequences, interpret=interpret,
+            )
     if narrow and B > _MAX_WHOLE_BATCH:
-        # balanced ~256-row independent chunks past the measured
-        # whole-batch cliff (B=512: 2x256 = 4.27-4.30 ms, vs 5.42 for the
-        # whole batch where it compiles at all; B=1024 whole doesn't
-        # compile — scripts/probe_train_dense_chunk.py,
-        # probe_finetune_b512_chunk.py). Rows are independent, so
-        # gradients through the concat are exact and zero-padded rows get
-        # zero cotangent.
         from svd_lstm_tpu.ops.pallas_train_fused import fused_narrow_train_apply
 
-        k = -(-B // _TRAIN_CHUNK)
-        c = -(-(-(-B // k)) // 8) * 8  # ceil(B/k) rounded up to 8 rows
-        pad = k * c - B
-        if pad:
-            x_seq = jnp.concatenate(
-                [x_seq, jnp.zeros((pad,) + x_seq.shape[1:], x_seq.dtype)],
-                axis=0,
-            )
-        outs = [
-            fused_narrow_train_apply(
-                params,
-                x_seq[i * c : (i + 1) * c],
-                return_sequences=return_sequences,
-                interpret=interpret,
-            )
-            for i in range(k)
-        ]
-        return jnp.concatenate(outs, axis=0)[:B]
+        return _chunked_narrow(
+            fused_narrow_train_apply,
+            params, x_seq, return_sequences, interpret, B,
+        )
     if narrow and B % 8 == 0:
         # narrow stack (the reference's own scale): ONE fused kernel per
         # direction for the whole model — 5.42 ms/step vs the 7.65 bf16 /

@@ -197,7 +197,11 @@ def resolve_train_apply_fn(cfg: TrainConfig, apply_fn: Callable):
             )
 
             return (
-                partial(stacked_lstm_apply_fast_train, interpret=interpret),
+                partial(
+                    stacked_lstm_apply_fast_train,
+                    interpret=interpret,
+                    compact=cfg.compact_gates,
+                ),
                 True,
             )
         if apply_fn is singular_lstm_apply:

@@ -141,6 +141,11 @@ def test_autotune_train_dense_measures_all_regimes(model_x):
         ("tensorfloat32", False), ("bfloat16", False), ("bfloat16", True)
     }
     assert r.ms == min(v for k, v in r.table.items() if k != "f32_scan")
+    # this narrow stack packs >= 2 gates per block, so the compact-layout
+    # regime is a distinct candidate and must be measured, not skipped
+    assert "fused_kernel_compact" in r.table
+    if not r.recurrence_kernel:
+        assert r.compact_gates is False
 
 
 def test_autotune_train_singular_uses_masked_step(model_x):
@@ -175,8 +180,9 @@ def test_tuned_train_flags_cache_roundtrip(model_x, tmp_path, monkeypatch):
     x, y = _train_xy()
     cache = str(tmp_path / "autotune.json")
     monkeypatch.setattr(at, "_MEM_CACHE", {})
-    prec, kernel = at.tuned_train_flags(params, x, y, cache_path=cache)
+    prec, kernel, compact = at.tuned_train_flags(params, x, y, cache_path=cache)
     assert prec in ("tensorfloat32", "bfloat16") and isinstance(kernel, bool)
+    assert isinstance(compact, bool)
     data = json.load(open(cache))
     assert len(data) == 1
 
@@ -184,9 +190,10 @@ def test_tuned_train_flags_cache_roundtrip(model_x, tmp_path, monkeypatch):
         raise AssertionError("re-measured despite cache")
 
     monkeypatch.setattr(at, "autotune_train", boom)
-    assert at.tuned_train_flags(params, x, y, cache_path=cache) == (prec, kernel)
+    flags = (prec, kernel, compact)
+    assert at.tuned_train_flags(params, x, y, cache_path=cache) == flags
     monkeypatch.setattr(at, "_MEM_CACHE", {})
-    assert at.tuned_train_flags(params, x, y, cache_path=cache) == (prec, kernel)
+    assert at.tuned_train_flags(params, x, y, cache_path=cache) == flags
 
 
 # ----------------------------------------------- auto-dispatch consult --
@@ -262,9 +269,12 @@ def test_cached_train_flags_readonly(model_x, clean_cache, monkeypatch):
     params, _ = model_x
     x, _y = _train_xy()
     assert at.cached_train_flags(params, x) is None
+    # legacy 2-field entry (pre-round-4 cache): compact defaults False
     at.store_tuned(at.train_cache_key(params, x), "bfloat16|1")
     monkeypatch.setattr(at, "_MEM_CACHE", {})  # force the disk layer
-    assert at.cached_train_flags(params, x) == ("bfloat16", True)
+    assert at.cached_train_flags(params, x) == ("bfloat16", True, False)
+    at.store_tuned(at.train_cache_key(params, x), "bfloat16|1|1")
+    assert at.cached_train_flags(params, x) == ("bfloat16", True, True)
 
 
 def test_store_tuned_populates_memo(model_x, clean_cache, monkeypatch):

@@ -90,3 +90,77 @@ def test_compact_eligibility_rules(rng):
     p40 = init_stacked_lstm(jax.random.PRNGKey(4), input_dim=16, units=(40,))
     assert compact_eligible(p40, 16)
     assert not compact_eligible(p40, 200)  # input wider than one block
+
+
+class TestDispatchWiring:
+    """TrainConfig.compact_gates routes the dense narrow path through the
+    compact kernels (ops/pallas_train.py dispatch + train/loop.py
+    resolve_train_apply_fn), falling back to the P-layout when the stack
+    cannot pack."""
+
+    def test_fast_train_compact_matches_scan(self, rng):
+        from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
+
+        params = init_stacked_lstm(
+            jax.random.PRNGKey(3), input_dim=16, units=(40, 30)
+        )
+        x = jnp.asarray(rng.normal(size=(8, 6, 16)).astype(np.float32))
+        ref = np.asarray(stacked_lstm_apply(params, x, return_sequences=False))
+        got = np.asarray(
+            stacked_lstm_apply_fast_train(
+                params, x, return_sequences=False, interpret=True, compact=True
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_fast_train_compact_chunked_past_batch_cliff(self, rng):
+        """B > _MAX_WHOLE_BATCH goes through the shared balanced-chunk
+        splitter with the compact apply."""
+        from svd_lstm_tpu.ops.pallas_train import (
+            _MAX_WHOLE_BATCH,
+            stacked_lstm_apply_fast_train,
+        )
+
+        B = _MAX_WHOLE_BATCH + 8
+        params = init_stacked_lstm(jax.random.PRNGKey(4), input_dim=8, units=(12,))
+        x = jnp.asarray(rng.normal(size=(B, 4, 8)).astype(np.float32))
+        ref = np.asarray(stacked_lstm_apply(params, x, return_sequences=False))
+        got = np.asarray(
+            stacked_lstm_apply_fast_train(
+                params, x, return_sequences=False, interpret=True, compact=True
+            )
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_compact_ineligible_falls_back(self, rng):
+        """n=100 packs only one gate per block -> the P-layout path runs
+        (same values, no error)."""
+        from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
+
+        params = init_stacked_lstm(
+            jax.random.PRNGKey(5), input_dim=8, units=(100,)
+        )
+        assert not compact_eligible(params, 8)
+        x = jnp.asarray(rng.normal(size=(8, 5, 8)).astype(np.float32))
+        ref = np.asarray(stacked_lstm_apply(params, x, return_sequences=False))
+        got = np.asarray(
+            stacked_lstm_apply_fast_train(
+                params, x, return_sequences=False, interpret=True, compact=True
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_resolve_passes_compact_flag(self):
+        from svd_lstm_tpu.config import TrainConfig
+        from svd_lstm_tpu.train.loop import resolve_train_apply_fn
+
+        fn, using = resolve_train_apply_fn(
+            TrainConfig(recurrence_kernel=True, compact_gates=True),
+            stacked_lstm_apply,
+        )
+        assert using and fn.keywords.get("compact") is True
+        fn2, _ = resolve_train_apply_fn(
+            TrainConfig(recurrence_kernel=True), stacked_lstm_apply
+        )
+        assert fn2.keywords.get("compact") is False
