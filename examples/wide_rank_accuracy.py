@@ -46,6 +46,15 @@ def main():
         "reference's reduced cell is frozen, code/svd_classes_v3.py:249-315); "
         "0 disables",
     )
+    ap.add_argument(
+        "--recover-lr",
+        type=float,
+        default=3e-5,
+        help="recovery fine-tune Adam LR. 3e-4 (the narrow-scale default) "
+        "DIVERGES at 3x512 — whole-run RMSE blows up 3-6x while the "
+        "windowed loss looks fine (scripts/probe_wide_recovery.py sweep); "
+        "the wide default is the measured-stable value",
+    )
     ap.add_argument("--noise", type=float, default=1.5)
     ap.add_argument("--ckpt", default="./model_saves/pretrained_3x512_n1.5.npz")
     ap.add_argument("--out", default="./model_saves/wide_rank_accuracy.json")
@@ -154,7 +163,7 @@ def main():
                 batch_size=32 if args.quick else 128,
                 num_windows=512 if args.quick else 20_000,
                 window_len=50 if args.quick else 200,
-                learning_rate=3e-4,
+                learning_rate=args.recover_lr,
             )
             rec = fit(
                 rmod, ds.X_train, ds.y_train, rcfg,
