@@ -158,6 +158,8 @@ def main():
             # post-truncation recovery fine-tune (beyond-reference: the
             # reference's ReducedLSTMCell is frozen; ours trains — the
             # raw-truncation damage at aggressive ranks is recoverable)
+            import optax
+
             rcfg = TrainConfig(
                 epochs=args.recover_epochs,
                 batch_size=32 if args.quick else 128,
@@ -165,9 +167,16 @@ def main():
                 window_len=50 if args.quick else 200,
                 learning_rate=args.recover_lr,
             )
+            # clip: even at the measured-stable lr, SOME ranks diverge
+            # (r=48/24 blew up while 64/32/16 recovered — the two-step
+            # factors' conditioning varies with r); clip(0.5)+adam was
+            # stable at 10x this lr in the probe sweep
             rec = fit(
                 rmod, ds.X_train, ds.y_train, rcfg,
                 apply_fn=reduced_lstm_apply,
+                optimizer=optax.chain(
+                    optax.clip(0.5), optax.adam(args.recover_lr)
+                ),
             ).params
             pred_r = inv(
                 predict_full_run(rec, ds.X_test, apply_fn=reduced_lstm_apply)

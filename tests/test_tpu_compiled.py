@@ -340,3 +340,28 @@ def test_conv_train_batch_boundary(conv_hybrid):
 
     _grad_parity(conv_hybrid, conv_lstm_apply_fast_train, conv_lstm_apply,
                  B=512, T=8, seed=7)
+
+
+def test_train_kernel_compact_compiled(dense_model):
+    """Compact gate layout (k gates per 128-lane block) compiled on the
+    chip: forward + gradient parity vs the f32 scan at the flagship 4x40
+    stack, whole-batch and through the balanced-chunk splitter."""
+    from functools import partial
+
+    from svd_lstm_tpu.models.lstm import stacked_lstm_apply
+    from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
+
+    fast = partial(stacked_lstm_apply_fast_train, compact=True)
+    _grad_parity(dense_model, fast, stacked_lstm_apply)
+
+
+@pytest.mark.parametrize("B", [512, 600])
+def test_train_kernel_compact_batch_boundary(dense_model, B):
+    """Compact + the shared chunk dispatch past the B=496 cliff."""
+    from functools import partial
+
+    from svd_lstm_tpu.models.lstm import stacked_lstm_apply
+    from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
+
+    fast = partial(stacked_lstm_apply_fast_train, compact=True)
+    _grad_parity(dense_model, fast, stacked_lstm_apply, B=B, T=16)
