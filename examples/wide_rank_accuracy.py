@@ -40,20 +40,16 @@ def main():
     ap.add_argument(
         "--recover-epochs",
         type=int,
-        default=2,
-        help="post-truncation recovery fine-tune epochs at ranks where the "
-        "timing wins (r <= 64) — the beyond-reference mechanism (the "
-        "reference's reduced cell is frozen, code/svd_classes_v3.py:249-315); "
-        "0 disables",
-    )
-    ap.add_argument(
-        "--recover-lr",
-        type=float,
-        default=3e-5,
-        help="recovery fine-tune Adam LR. 3e-4 (the narrow-scale default) "
-        "DIVERGES at 3x512 — whole-run RMSE blows up 3-6x while the "
-        "windowed loss looks fine (scripts/probe_wide_recovery.py sweep); "
-        "the wide default is the measured-stable value",
+        default=6,
+        help="max epochs for the val-gated post-truncation recovery at "
+        "ranks where the timing wins (r <= 64) — the beyond-reference "
+        "mechanism (the reference's reduced cell is frozen, "
+        "code/svd_classes_v3.py:249-315); 0 disables. No FIXED recovery "
+        "LR is rank-robust at 3x512 (round 4: the r=32-swept 3e-5 still "
+        "diverged at r=48/24), so recovery runs "
+        "train.finetune.recover_reduced_gated: each epoch must improve "
+        "whole-run validation MSE on the TRAIN half or it is rolled back "
+        "and the LR ladder steps down",
     )
     ap.add_argument("--noise", type=float, default=1.5)
     ap.add_argument("--ckpt", default="./model_saves/pretrained_3x512_n1.5.npz")
@@ -119,7 +115,16 @@ def main():
     full_pred = inv(predict_full_run(model, ds.X_test))
     full_rmse = rmse(y_true, full_pred)
     full_w = sum(int(np.asarray(a).size) for l in model.layers for a in l)
-    print(f"full model: RMSE {full_rmse*1000:.3f} mm  weights {full_w}",
+    # fast-precision accuracy column (VERDICT r4 #8): the deepest timing
+    # headline (0.547 = fast reduced / fast full) gets its own RMSE
+    # evidence. predict(precision='fast') = relaxed single-pass bf16 dots
+    # through the kernel routes on TPU; off-TPU batch-1 it is the exact
+    # scan (api.py), so the quick artifact's fast columns equal exact.
+    x_test1 = jnp.asarray(ds.X_test[0])
+    fast_fn = jax.jit(lambda p, xx: st.predict(p, xx, precision="fast"))
+    full_fast_rmse = rmse(y_true, inv(np.asarray(fast_fn(model, x_test1))[:, 0]))
+    print(f"full model: RMSE {full_rmse*1000:.3f} mm "
+          f"(fast {full_fast_rmse*1000:.3f} mm)  weights {full_w}",
           flush=True)
 
     # timing harness: the bench.py wide protocol (batch-1, T=6656,
@@ -142,48 +147,57 @@ def main():
 
     smodel = st.make_singular_model(model, merged_kernel=True)
     rows = []
+    recover_recipe = None  # stamped from the first gated run (ADVICE r4)
     for r in ranks:
         rmod = st.make_reduced_model(smodel, rank=r)
         pred = inv(predict_full_run(rmod, ds.X_test, apply_fn=reduced_lstm_apply))
         e = rmse(y_true, pred)
         red_w = sum(l.weight_count() for l in rmod.layers)
+        e_fast = rmse(y_true, inv(np.asarray(fast_fn(rmod, x_test1))[:, 0]))
         row = {
             "rank": r,
             "rmse_mm": round(float(e * 1000), 4),
             "rmse_ratio": round(float(e / full_rmse), 4),
+            # fast-vs-fast: the 0.547 timing headline's accuracy pairing
+            "rmse_fast_mm": round(float(e_fast * 1000), 4),
+            "rmse_fast_ratio": round(float(e_fast / full_fast_rmse), 4),
             "weights": red_w,
             "weight_ratio": round(red_w / full_w, 4),
         }
         if args.recover_epochs and r <= 64:
-            # post-truncation recovery fine-tune (beyond-reference: the
-            # reference's ReducedLSTMCell is frozen; ours trains — the
-            # raw-truncation damage at aggressive ranks is recoverable)
-            import optax
+            # post-truncation recovery (beyond-reference: the reference's
+            # ReducedLSTMCell is frozen; ours trains). Val-gated with LR
+            # backoff — monotone in validation MSE by construction, so a
+            # rank where every ladder LR diverges degrades to "no
+            # recovery" instead of shipping a worse model (the round-4
+            # artifact's r=48/24 failure mode).
+            from svd_lstm_tpu.train.finetune import recover_reduced_gated
 
             rcfg = TrainConfig(
-                epochs=args.recover_epochs,
                 batch_size=32 if args.quick else 128,
                 num_windows=512 if args.quick else 20_000,
                 window_len=50 if args.quick else 200,
-                learning_rate=args.recover_lr,
             )
-            # clip: even at the measured-stable lr, SOME ranks diverge
-            # (r=48/24 blew up while 64/32/16 recovered — the two-step
-            # factors' conditioning varies with r); clip(0.5)+adam was
-            # stable at 10x this lr in the probe sweep
-            rec = fit(
-                rmod, ds.X_train, ds.y_train, rcfg,
-                apply_fn=reduced_lstm_apply,
-                optimizer=optax.chain(
-                    optax.clip(0.5), optax.adam(args.recover_lr)
-                ),
-            ).params
+            rec, rinfo = recover_reduced_gated(
+                rmod, ds.X_train, ds.y_train, train_cfg=rcfg,
+                max_epochs=args.recover_epochs, verbose=True,
+            )
+            recover_recipe = {
+                k: rinfo[k] for k in ("recipe", "lr_ladder", "clip",
+                                      "max_epochs", "gate")
+            }
             pred_r = inv(
                 predict_full_run(rec, ds.X_test, apply_fn=reduced_lstm_apply)
             )
             e_r = rmse(y_true, pred_r)
             row["rmse_recovered_mm"] = round(float(e_r * 1000), 4)
             row["recovered_ratio"] = round(float(e_r / full_rmse), 4)
+            row["recovery"] = {
+                "accepted_epochs": rinfo["accepted_epochs"],
+                "raw_val_mse": round(rinfo["raw_val_mse"], 6),
+                "best_val_mse": round(rinfo["best_val_mse"], 6),
+                "trace": rinfo["trace"],
+            }
         if on_tpu:
             red_fn = jax.jit(reduced_forward_hybrid)
             jax.block_until_ready(red_fn(rmod, x_time))
@@ -210,8 +224,10 @@ def main():
                     "dataset": "synthetic DROPBEAR surrogate"
                     + (" (quick)" if args.quick else ""),
                     "on_tpu": on_tpu,
+                    "recover": recover_recipe,
                 },
                 "full_rmse_mm": round(float(full_rmse * 1000), 4),
+                "full_rmse_fast_mm": round(float(full_fast_rmse * 1000), 4),
                 "full_weights": full_w,
                 "full_ms": full_ms,
                 "rows": rows,

@@ -16,9 +16,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from functools import partial
+
 from svd_lstm_tpu.bench.devtime import device_time_ms
 from svd_lstm_tpu.models.lstm import init_stacked_lstm, stacked_lstm_apply
-from svd_lstm_tpu.ops.pallas_train_fused import fused_narrow_train_apply
+from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
 from svd_lstm_tpu.ops.pallas_train_compact import (
     compact_eligible,
     fused_narrow_train_apply_compact,
@@ -68,8 +70,16 @@ def main():
 
     opt = optax.adam(1e-3)
     s0 = opt.init(params)
-    step_p = mk_step(mk_loss(fused_narrow_train_apply), opt)
-    step_c = mk_step(mk_loss(fused_narrow_train_apply_compact), opt)
+    # measure THROUGH the production dispatch (ADVICE r4): at B=512 it
+    # splits into 2x256 balanced chunks (> _MAX_WHOLE_BATCH=496) — timing
+    # the whole-batch kernels directly would compare programs the
+    # dispatch never runs
+    step_p = mk_step(
+        mk_loss(partial(stacked_lstm_apply_fast_train, compact=False)), opt
+    )
+    step_c = mk_step(
+        mk_loss(partial(stacked_lstm_apply_fast_train, compact=True)), opt
+    )
 
     for B in (32, 128, 512):
         xb = jnp.asarray(rng.normal(size=(B, T, d)).astype(np.float32))

@@ -511,7 +511,13 @@ def train_cache_key(params, x) -> str:
             "train": True,
             "family": _family(params),
             "dims": _dims(params),
-            "x": tuple(int(s) for s in jnp.asarray(x).shape),
+            # .shape directly when present (fit's auto_flags consult passes
+            # a host-side shape probe — forcing it through jnp.asarray would
+            # ship it to device just to read the shape)
+            "x": tuple(
+                int(s)
+                for s in (x.shape if hasattr(x, "shape") else jnp.asarray(x).shape)
+            ),
             "device": f"{dev.platform}:{dev.device_kind}",
         },
         sort_keys=True,

@@ -75,6 +75,15 @@ class TrainConfig:
     # Measured A/B on-chip decides the default; `tune --train` measures it
     # per model (BENCH_NOTES round-4 compact section).
     compact_gates: bool = False
+    # Consult the autotune cache for this (model, window shape, device)
+    # before training and, on a hit, train with the measured-best
+    # (matmul_precision, recurrence_kernel, compact_gates) triple written
+    # by `tune --train` / `tuned_train_flags` — the training analog of
+    # ``predict(impl="auto")`` consulting its cache. Read-only: a cache
+    # miss trains with THIS config's flags, never measures. Explicit flags
+    # set here are overridden on a hit (the point is tune-once,
+    # train-measured-best-thereafter).
+    auto_flags: bool = False
     # Chunked-time activation rematerialization for the XLA-scan train step
     # (jax.checkpoint around inner scans of this many steps): BPTT then
     # saves only raw input chunks + chunk-boundary (h, c) carries and

@@ -276,6 +276,40 @@ def resolve_train_apply_fn(cfg: TrainConfig, apply_fn: Callable):
     return apply_fn, False
 
 
+def apply_cached_train_flags(
+    cfg: TrainConfig, params, X_train, windows, verbose: bool = False
+) -> TrainConfig:
+    """``TrainConfig.auto_flags``: read-only consult of the autotune cache
+    (bench/autotune.py ``tune --train`` writes it) for the measured-best
+    ``(matmul_precision, recurrence_kernel, compact_gates)`` triple at this
+    (model, window-batch shape, device). Hit -> those flags replace the
+    config's; miss -> the config is returned unchanged (never measures —
+    the training analog of ``api.predict(impl="auto")``'s cache consult)."""
+    from svd_lstm_tpu.bench.autotune import cached_train_flags
+
+    if windows is not None:
+        shape = (cfg.batch_size,) + tuple(np.asarray(windows[0]).shape[1:])
+    else:
+        d = int(np.asarray(X_train).shape[-1])
+        shape = (cfg.batch_size, cfg.window_len, d)
+    probe = np.empty(shape, dtype=np.float32)
+    hit = cached_train_flags(params, probe)
+    if hit is None:
+        return cfg
+    prec, kernel, compact = hit
+    if verbose:
+        print(
+            f"auto_flags: tuned regime hit — matmul_precision={prec} "
+            f"recurrence_kernel={kernel} compact_gates={compact}"
+        )
+    return dataclasses.replace(
+        cfg,
+        matmul_precision=prec,
+        recurrence_kernel=kernel,
+        compact_gates=compact,
+    )
+
+
 def fit(
     params: Any,
     X_train: np.ndarray,
@@ -291,11 +325,19 @@ def fit(
     windows: tuple | None = None,
     dropout_rng: jax.Array | None = None,
     init_opt_state: Any = None,
+    loss_fn: Callable | None = None,
 ) -> TrainResult:
     """Train ``params`` on random windows of the (1, T, d) training run.
 
     ``loss_extra(params) -> scalar`` lets callers add regularization terms
     (used by the singular fine-tune).
+
+    ``loss_fn(params, x, y, apply_fn, rng) -> scalar`` overrides the
+    window-end MSE data term (default :func:`mse_last_step`). Used by the
+    v1-protocol reproduction: Keras broadcast the scalar window-end label
+    across the TimeDistributed sequence output, training EVERY timestep
+    toward the end label (reference old_versions/train_full_model.py:
+    130-131 — model outputs (B, T, 1), y_mini is (B,)).
 
     ``validation=(X, y)`` evaluates whole-run MSE each epoch (reference
     passes validation_data to Keras fit, code/svd_acceleration_v3.py:126).
@@ -313,6 +355,8 @@ def fit(
     # Fresh buffers: the jitted step donates its inputs, and donating the
     # caller's arrays would invalidate them outside this function.
     params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+    if cfg.auto_flags:
+        cfg = apply_cached_train_flags(cfg, params, X_train, windows, verbose)
     # Validation metrics always run exact (config.py invariant): keep the
     # pre-swap apply_fn for val_fn — recurrence_kernel relaxes only the
     # training step's dots, like matmul_precision does. The kernel/remat
@@ -334,12 +378,13 @@ def fit(
         else optimizer.init(params)
     )
 
+    data_loss = mse_last_step if loss_fn is None else loss_fn
     if loss_extra is None:
         def base_loss(p, x, y, f, rng=None):
-            return mse_last_step(p, x, y, f, rng)
+            return data_loss(p, x, y, f, rng)
     else:
         def base_loss(p, x, y, f, rng=None):
-            return mse_last_step(p, x, y, f, rng) + loss_extra(p)
+            return data_loss(p, x, y, f, rng) + loss_extra(p)
 
     def loss_fn(p, x, y, f, rng=None):
         # cfg.matmul_precision relaxes the train step's matmul passes

@@ -287,3 +287,99 @@ def test_store_tuned_populates_memo(model_x, clean_cache, monkeypatch):
     assert at._MEM_CACHE[key] == "scan"
     data = json.load(open(clean_cache))
     assert data[key] == "scan"
+
+
+# ------------------------------------------------- fit auto_flags consult --
+# VERDICT r4 #7: `tune --train` writes cached_train_flags, and
+# TrainConfig.auto_flags makes fit/finetune consult it — tune once, train
+# measured-best thereafter (symmetric with predict(impl='auto')).
+
+
+def _tiny_train_setup():
+    from svd_lstm_tpu.config import TrainConfig
+
+    params = init_stacked_lstm(jax.random.PRNGKey(0), input_dim=4, units=(6, 5))
+    X = np.random.default_rng(0).normal(size=(1, 64, 4)).astype(np.float32)
+    y = np.random.default_rng(1).normal(size=(64,)).astype(np.float32)
+    cfg = TrainConfig(
+        num_windows=8, window_len=16, batch_size=4, epochs=1, auto_flags=True
+    )
+    return params, X, y, cfg
+
+
+def _spy_resolved_cfg(monkeypatch):
+    import svd_lstm_tpu.train.loop as loop
+
+    seen = {}
+    orig = loop.resolve_train_apply_fn
+
+    def spy(cfg, apply_fn):
+        seen["cfg"] = cfg
+        return orig(cfg, apply_fn)
+
+    monkeypatch.setattr(loop, "resolve_train_apply_fn", spy)
+    return seen
+
+
+def test_fit_consults_cached_train_flags(clean_cache, monkeypatch):
+    """A seeded cache entry for the production window-batch shape
+    (batch_size, window_len, d) redirects fit's training regime to the
+    measured-best (matmul_precision, recurrence_kernel, compact_gates)."""
+    from svd_lstm_tpu.train.loop import fit
+
+    params, X, y, cfg = _tiny_train_setup()
+    probe = np.empty((cfg.batch_size, cfg.window_len, 4), dtype=np.float32)
+    at.store_tuned(
+        at.train_cache_key(params, probe),
+        at.encode_train_flags("bfloat16", True, False),
+    )
+    seen = _spy_resolved_cfg(monkeypatch)
+    res = fit(params, X, y, cfg=cfg)
+    assert len(res.history) == 1
+    got = seen["cfg"]
+    assert (
+        got.matmul_precision,
+        got.recurrence_kernel,
+        got.compact_gates,
+    ) == ("bfloat16", True, False)
+
+
+def test_fit_auto_flags_miss_keeps_config(clean_cache, monkeypatch):
+    """Cache miss: fit trains with the caller's flags unchanged and never
+    measures (consult is read-only)."""
+    from svd_lstm_tpu.train.loop import fit
+
+    params, X, y, cfg = _tiny_train_setup()
+
+    def boom(*a, **k):
+        raise AssertionError("auto_flags measured on a miss")
+
+    monkeypatch.setattr(at, "autotune_train", boom)
+    seen = _spy_resolved_cfg(monkeypatch)
+    fit(params, X, y, cfg=cfg)
+    got = seen["cfg"]
+    assert (
+        got.matmul_precision,
+        got.recurrence_kernel,
+        got.compact_gates,
+    ) == ("float32", False, False)
+
+
+def test_finetune_consults_cached_train_flags(clean_cache, monkeypatch):
+    """The σ fine-tune goes through the same consult (finetune -> fit):
+    a singular-family cache entry flips its training regime too."""
+    from svd_lstm_tpu.config import FactorConfig
+    from svd_lstm_tpu.factor.svd import make_singular_model
+    from svd_lstm_tpu.train.finetune import finetune
+
+    params, X, y, cfg = _tiny_train_setup()
+    sp = make_singular_model(params, merged_kernel=False)
+    probe = np.empty((cfg.batch_size, cfg.window_len, 4), dtype=np.float32)
+    at.store_tuned(
+        at.train_cache_key(sp, probe),
+        at.encode_train_flags("tensorfloat32", True, False),
+    )
+    seen = _spy_resolved_cfg(monkeypatch)
+    finetune(sp, X, y, factor_cfg=FactorConfig(), train_cfg=cfg)
+    got = seen["cfg"]
+    assert (got.matmul_precision, got.recurrence_kernel) == ("tensorfloat32", True)

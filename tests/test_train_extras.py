@@ -108,3 +108,64 @@ def test_fit_rejects_zero_step_epochs(tiny_run):
     cfg = TrainConfig(num_windows=16, window_len=20, epochs=1, batch_size=32)
     with pytest.raises(ValueError, match="zero steps"):
         fit(params, X, y, cfg)
+
+
+# --------------------------------------------- gated wide recovery --
+# VERDICT r4 #1: no fixed recovery LR is rank-robust at 3x512 (r=48/24
+# diverged under the round-4 'measured-stable' 3e-5). recover_reduced_gated
+# replaces the fixed recipe with a val-gated lr-backoff procedure that is
+# monotone in validation MSE by construction.
+
+
+@pytest.fixture(scope="module")
+def tiny_reduced(tiny_run):
+    """A briefly-trained dense model truncated aggressively (rank 2 of 8)
+    so raw truncation leaves real damage for the recovery to repair."""
+    import svd_lstm_tpu as st
+
+    X, y = tiny_run
+    params = fit(
+        init_stacked_lstm(jax.random.PRNGKey(1), 4, (8, 8)),
+        X, y, _gate_cfg(epochs=3),
+    ).params
+    smodel = st.make_singular_model(params, merged_kernel=True)
+    return st.make_reduced_model(smodel, cutoff=None, rank=2)
+
+
+def _gate_cfg(epochs=1):
+    return TrainConfig(
+        num_windows=64, window_len=20, batch_size=8, seed=0, epochs=epochs
+    )
+
+
+def test_gated_recovery_never_worse_than_raw(tiny_run, tiny_reduced):
+    """A ladder that STARTS with a catastrophically diverging LR: the
+    first epoch is rejected (rolled back), the ladder steps down, and the
+    returned params are never worse than raw truncation on the gate."""
+    from svd_lstm_tpu.models.reduced import reduced_lstm_apply
+    from svd_lstm_tpu.train.finetune import recover_reduced_gated
+    from svd_lstm_tpu.train.loop import make_val_fn
+
+    X, y = tiny_run
+    out, info = recover_reduced_gated(
+        tiny_reduced, X, y, train_cfg=_gate_cfg(),
+        lr_ladder=(50.0, 1e-2), clip=1e9, max_epochs=3,
+    )
+    val_fn = make_val_fn(reduced_lstm_apply, (X, y))
+    assert float(val_fn(out)) <= float(val_fn(tiny_reduced)) + 1e-9
+    assert info["trace"][0]["accepted"] is False  # lr=50 diverged, rejected
+    assert info["best_val_mse"] <= info["raw_val_mse"] + 1e-9
+
+
+def test_gated_recovery_improves_when_stable(tiny_run, tiny_reduced):
+    from svd_lstm_tpu.train.finetune import recover_reduced_gated
+
+    X, y = tiny_run
+    out, info = recover_reduced_gated(
+        tiny_reduced, X, y, train_cfg=_gate_cfg(),
+        lr_ladder=(3e-3,), max_epochs=3,
+    )
+    assert info["accepted_epochs"] >= 1
+    assert info["best_val_mse"] < info["raw_val_mse"]
+    # provenance stamp for the artifact (ADVICE r4)
+    assert info["lr_ladder"] == [3e-3] and "clip" in info
