@@ -132,8 +132,10 @@ def main():
     # (the committed rank_rmse_30units.json is the v4 evidence), and a
     # smoke run must not clobber ANY committed full-run artifact
     # (tests/test_sweep_viz.py pins model_saves/rank_rmse_30units.json).
-    suffix = ("_v1train" if args.trainer == "v1" else "") + (
-        "_quick" if args.quick else ""
+    suffix = (
+        ("_v1train" if args.trainer == "v1" else "")
+        + ("_hoyer" if args.mode == "hoyer" else "")
+        + ("_quick" if args.quick else "")
     )
     if suffix:
         for attr in ("out", "plot"):
@@ -255,14 +257,15 @@ def main():
         # --quick must shrink the fine-tune workload too: the FactorConfig
         # defaults (20000 windows of 200 steps) would run ~10x more steps
         # than the quick pre-train itself. Reuse the quick pre-train's
-        # window scale instead.
-        ft_tcfg = (
-            dataclasses.replace(
-                tcfg, epochs=fcfg.finetune_epochs,
-                batch_size=fcfg.finetune_batch_size,
-            )
-            if args.quick
-            else None
+        # window scale instead. On TPU the fine-tune runs through the
+        # fused Pallas training engine (~7x the f32 scan at this scale,
+        # BENCH_NOTES §training).
+        on_tpu = jax.devices()[0].platform != "cpu"
+        ft_tcfg = dataclasses.replace(
+            tcfg if args.quick else TrainConfig(),
+            epochs=fcfg.finetune_epochs,
+            batch_size=fcfg.finetune_batch_size,
+            recurrence_kernel=on_tpu,
         )
         print(
             f"hoyer fine-tune (hoyer={fcfg.hoyer}, "

@@ -72,9 +72,12 @@ class TrainConfig:
     # burns 3.2x the MXU lanes on padding). Dense family only; stacks the
     # compact layout cannot hold (any layer with gate_group_size < 2, or
     # inputs wider than one lane block) silently keep the P-layout.
-    # Measured A/B on-chip decides the default; `tune --train` measures it
-    # per model (BENCH_NOTES round-4 compact section).
-    compact_gates: bool = False
+    # "auto" (default) applies the measured v5e crossover — P-layout below
+    # B=128 (grid-latency-bound; measured 0.409 vs 0.657 ms at B=32),
+    # compact from B=128 up (compute-bound; 3.690 vs 4.298 ms at B=512) —
+    # BENCH_NOTES §round-5 compact A/B. `tune --train` measures the
+    # True/False pair per model and the cache overrides "auto".
+    compact_gates: bool | str = "auto"
     # Consult the autotune cache for this (model, window shape, device)
     # before training and, on a hit, train with the measured-best
     # (matmul_precision, recurrence_kernel, compact_gates) triple written

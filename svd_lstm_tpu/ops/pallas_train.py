@@ -56,6 +56,10 @@ DEF = jax.lax.Precision.DEFAULT
 # EVERY B >= 512 and compile through 496; dense-weight programs crash at
 # B >= 1024 (scripts/probe_finetune_b512_*.py, probe_train_dense_chunk.py).
 _MAX_WHOLE_BATCH = 496
+# compact-gate-layout crossover: measured on v5e through the production
+# dispatch (scripts/probe_train_compact_ab.py) — P-layout wins at B=32,
+# compact from B=128 up. "auto" resolves with this.
+_COMPACT_MIN_BATCH = 128
 # Target chunk size past the cliff: the measured per-sample optimum
 # (8.3 µs/sample at 256 vs 10.6 at 512 whole-batch). Chunks are balanced:
 # with k = ceil(B/256) instances, each runs c = ceil(B/k) rows rounded up
@@ -354,7 +358,7 @@ def stacked_lstm_apply_fast_train(
     return_sequences: bool = True,
     interpret: bool = False,
     wide_fused: bool = True,
-    compact: bool = False,
+    compact: bool | str = "auto",
 ) -> jax.Array:
     """Drop-in ``apply_fn`` for ``train.loop.fit`` running the recurrences
     through the trainable Pallas kernel pair. Dots are DEFAULT-precision —
@@ -390,6 +394,16 @@ def stacked_lstm_apply_fast_train(
     units = [l.units for l in params.layers]
     B, _, d_in = x_seq.shape
     narrow = is_narrow(params, d_in)
+    if compact == "auto":
+        # measured crossover (scripts/probe_train_compact_ab.py on v5e,
+        # 4x40/T=200, full train step through THIS dispatch): B=32
+        # P-layout 0.409 vs compact 0.657 ms; B=128 1.068 vs 0.993;
+        # B=512 (2x256 chunks) 4.298 vs 3.690 — small batches are
+        # grid-latency-bound and the compact layout's extra in-kernel
+        # gate bookkeeping loses, large batches are compute-bound and
+        # packing gates 3-per-128-lane-block wins. BENCH_NOTES §round-5
+        # compact A/B.
+        compact = B >= _COMPACT_MIN_BATCH
     if compact and narrow:
         # compact gate layout (k gates per 128-lane block) when the stack
         # fits it — otherwise fall through to the P-layout paths below

@@ -362,7 +362,7 @@ def test_fit_auto_flags_miss_keeps_config(clean_cache, monkeypatch):
         got.matmul_precision,
         got.recurrence_kernel,
         got.compact_gates,
-    ) == ("float32", False, False)
+    ) == ("float32", False, "auto")
 
 
 def test_finetune_consults_cached_train_flags(clean_cache, monkeypatch):

@@ -160,7 +160,39 @@ class TestDispatchWiring:
             stacked_lstm_apply,
         )
         assert using and fn.keywords.get("compact") is True
+        # default is the measured batch crossover ("auto" — B>=128 packs,
+        # smaller batches keep the P-layout; probe_train_compact_ab.py)
         fn2, _ = resolve_train_apply_fn(
             TrainConfig(recurrence_kernel=True), stacked_lstm_apply
         )
-        assert fn2.keywords.get("compact") is False
+        assert fn2.keywords.get("compact") == "auto"
+        fn3, _ = resolve_train_apply_fn(
+            TrainConfig(recurrence_kernel=True, compact_gates=False),
+            stacked_lstm_apply,
+        )
+        assert fn3.keywords.get("compact") is False
+
+
+def test_compact_auto_batch_crossover(rng, monkeypatch):
+    """compact="auto" (the default) applies the measured v5e crossover:
+    B < 128 keeps the P-layout, B >= 128 routes to the compact kernels
+    (scripts/probe_train_compact_ab.py — 0.409 vs 0.657 ms at B=32,
+    3.690 vs 4.298 ms at B=512 through this very dispatch)."""
+    import svd_lstm_tpu.ops.pallas_train_compact as pc
+    from svd_lstm_tpu.ops.pallas_train import stacked_lstm_apply_fast_train
+
+    params = init_stacked_lstm(jax.random.PRNGKey(6), input_dim=6, units=(10,))
+    hits = {"n": 0}
+    orig = pc.fused_narrow_train_apply_compact
+
+    def spy(*a, **k):
+        hits["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pc, "fused_narrow_train_apply_compact", spy)
+    x_small = jnp.asarray(rng.normal(size=(8, 3, 6)).astype(np.float32))
+    stacked_lstm_apply_fast_train(params, x_small, interpret=True)
+    assert hits["n"] == 0  # below the crossover: P-layout
+    x_big = jnp.asarray(rng.normal(size=(128, 3, 6)).astype(np.float32))
+    stacked_lstm_apply_fast_train(params, x_big, interpret=True)
+    assert hits["n"] == 1  # at the crossover: compact
