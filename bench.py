@@ -370,8 +370,14 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
         entry["kernel_speedup_vs_f32"] = round(
             entry["f32_scan_ms"] / entry["fused_kernel_ms"], 3
         )
+        # floor in the layout the dispatch actually resolves: compact="auto"
+        # routes the eligible dense stack to the compact-gate kernels at
+        # B >= 128 (fewer executed MACs -> a LOWER floor to answer to)
+        layout = "compact" if B >= 128 else "p"
+        entry["kernel_layout"] = layout
         add_floor(
-            entry, narrow_train_step_cost(INPUT_DIM, UNITS, B, TRAIN_T),
+            entry,
+            narrow_train_step_cost(INPUT_DIM, UNITS, B, TRAIN_T, layout=layout),
             "fused_kernel_ms",
         )
         log(f"[train] B={B}: {entry}")

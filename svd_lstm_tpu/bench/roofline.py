@@ -233,18 +233,35 @@ def wide_train_step_cost(
 
 
 def narrow_train_step_cost(
-    input_dim: int, units: Sequence[int], B: int, T: int
+    input_dim: int, units: Sequence[int], B: int, T: int,
+    layout: str = "p",
 ) -> TrainStepCost:
     """Whole-stack narrow kernels (ops/pallas_train_fused.py): P-layout,
     every operand padded to 128 lanes. Per step: fwd 2L dots, bwd 6L
     (recompute 2L, dW/dU/dh-carry 3L, inter-layer dz@W^T L-1, final dx 1),
     each B*128*512 MACs; streams (1+2L) blocks fwd + (3+4L) bwd, each
     (B, 128) f32. B > 496 runs ceil(B/256)-balanced chunks — same
-    per-sample cost on the padded rows."""
+    per-sample cost on the padded rows.
+
+    ``layout="compact"`` (ops/pallas_train_compact.py, the dispatch's
+    resolution of compact="auto" at B >= 128): the 8 dots per layer-step
+    contract against (4/k)*128 gate lanes instead of 4*128 (k =
+    gate_group_size — at n=40, k=2 halves the executed MACs). The
+    streamed blocks are h/c-state-sized, so the HBM bytes are unchanged;
+    at 4x40/B=512 the compact floor flips from compute-bound (2.18 ms)
+    to HBM-bound (1.79 ms)."""
+    from svd_lstm_tpu.utils.linalg import gate_group_size
+
     L = len(units)
     assert all(u <= LANE for u in units) and input_dim <= LANE
     Bp = -(-B // 8) * 8  # kernel pads rows to 8
-    macs = 8 * L * Bp * T * LANE * 4 * LANE
+    if layout == "compact":
+        macs = sum(
+            8 * Bp * T * LANE * (4 // gate_group_size(u)) * LANE
+            for u in units
+        )
+    else:
+        macs = 8 * L * Bp * T * LANE * 4 * LANE
     bytes_ = ((1 + 2 * L) + (3 + 4 * L)) * Bp * T * LANE * 4
     return TrainStepCost(
         macs_executed=macs,

@@ -71,3 +71,19 @@ class TestMultiRunBatcher:
         assert (Xm.min(axis=(1, 2)) == Xm.max(axis=(1, 2))).all()
         # labels are window-end values
         assert ((ym >= 20) & (ym < T)).all()
+
+
+def test_narrow_train_cost_compact_layout():
+    """layout="compact" (the dispatch's auto resolution at B >= 128)
+    halves the executed MACs at n=40 (k=2 gates per block) and leaves the
+    HBM bytes unchanged (the streamed blocks are h/c-state-sized)."""
+    from svd_lstm_tpu.bench.roofline import narrow_train_step_cost
+
+    p = narrow_train_step_cost(16, (40, 40, 40, 40), 512, 200, layout="p")
+    c = narrow_train_step_cost(16, (40, 40, 40, 40), 512, 200, layout="compact")
+    assert c.macs_executed * 2 == p.macs_executed
+    assert c.hbm_bytes == p.hbm_bytes
+    assert c.macs_model == p.macs_model
+    # at this point the compact floor flips to HBM-bound
+    assert c.bandwidth_floor_ms() > c.compute_floor_ms()
+    assert p.compute_floor_ms() > p.bandwidth_floor_ms()
