@@ -382,7 +382,7 @@ def main():
     # honest multi-seed statistic is the MEDIAN curve plus the majority
     # rate, not the mean (one blown seed pollutes the mean arbitrarily).
     if (not args.quick and args.noise >= 1.0 and args.pipeline == "v4"
-            and args.trainer == "adam"):
+            and args.trainer == "adam" and args.mode == "pretrained"):
         majority = float(np.mean(flat_per_seed < 1.25))
         assert flat_max < 1.25, f"flat region violated (median): {flat_max}"
         assert majority > 0.5, f"flat seeds are a minority: {flat_per_seed}"
