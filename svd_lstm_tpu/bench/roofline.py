@@ -37,6 +37,10 @@ CHAIN_NS_PER_STAGE = 95.0    # fitted per-layer dependent-stage latency, f32 mat
 V5E_MXU_MACS = 1.0e14 / 2    # ~100 TFLOP/s f32 → 50 T MAC/s
 V5E_HBM_GBPS = 819.0         # v5e HBM bandwidth (public spec)
 V5E_BF16_MACS = 197e12 / 2   # v5e bf16 peak → MAC/s (DEFAULT-precision dots)
+TRAIN_DOT_ISSUE_NS = 57.0    # fitted per-dependent-dot issue latency
+                             # (probe_train_bwd_vpu.py, 4x40/B=32)
+V5E_GATE_ELEMS_PER_S = 3.2e11  # fitted fwd+bwd gate-VPU rate
+                               # (linear-gate kernel substitutions)
 
 from svd_lstm_tpu.utils.linalg import LANE  # canonical lane width
 
@@ -186,6 +190,8 @@ class TrainStepCost:
     macs_executed: int   # MACs the kernels actually issue (padding + remat)
     macs_model: int      # 3x forward algorithmic MACs (MFU convention)
     hbm_bytes: int       # streamed activation bytes (weights are resident)
+    total_dots: int = 0  # dependent MXU dots across the whole step (chain)
+    vpu_gate_elems: int = 0  # gate-lane elements through the fwd+bwd formulas
 
     def compute_floor_ms(self) -> float:
         return self.macs_executed / V5E_BF16_MACS * 1e3
@@ -193,8 +199,33 @@ class TrainStepCost:
     def bandwidth_floor_ms(self) -> float:
         return self.hbm_bytes / (V5E_HBM_GBPS * 1e9) * 1e3
 
+    def chain_floor_ms(self) -> float:
+        """Sequential-dot issue floor: the train kernels' grid is
+        sequential in T and each timestep's dots depend on the previous
+        carry, so small batches are bound by per-dot ISSUE latency, not
+        MXU throughput. Fitted 57 ns/dot at 4x40/B=32 (the fwd+bwd
+        kernels measure 0.424 ms for 6400 dots with the VPU share
+        subtracted — probe_train_bwd_vpu.py + probe_narrow_vpu.py);
+        same physics as the batch-1 inference chain's 95 ns/stage."""
+        return self.total_dots * TRAIN_DOT_ISSUE_NS * 1e-6
+
+    def vpu_floor_ms(self) -> float:
+        """Serial VPU gate-math term: sigmoid/tanh + derivative algebra
+        on (B, gate-lanes) blocks do NOT overlap the dependent dots.
+        Fitted 3.1 ps/gate-lane-element (fwd+bwd combined) from the
+        linear-gate kernel substitutions at B=128/256 (~322 G elem/s
+        saturated; B=32 runs under-utilized, which only makes this floor
+        conservative)."""
+        return self.vpu_gate_elems / V5E_GATE_ELEMS_PER_S * 1e3
+
     def floor_ms(self) -> float:
-        return max(self.compute_floor_ms(), self.bandwidth_floor_ms())
+        """max(MXU term + serial VPU term, HBM streaming): the dots pay
+        the larger of throughput and issue latency, the gate VPU adds on
+        top (measured: the additive model explains 94-99% of the fwd+bwd
+        kernel time at B=32/256 — BENCH_NOTES §round-5 training floor),
+        and DMA overlaps compute."""
+        mxu = max(self.compute_floor_ms(), self.chain_floor_ms())
+        return max(mxu + self.vpu_floor_ms(), self.bandwidth_floor_ms())
 
     def floor_fraction(self, measured_ms: float) -> float:
         return measured_ms / self.floor_ms()
@@ -229,6 +260,8 @@ def wide_train_step_cost(
         macs_executed=macs,
         macs_model=_model_train_macs(input_dim, units, B, T),
         hbm_bytes=bytes_,
+        total_dots=8 * L * T,
+        vpu_gate_elems=B * T * L * 4 * n,
     )
 
 
@@ -256,15 +289,20 @@ def narrow_train_step_cost(
     assert all(u <= LANE for u in units) and input_dim <= LANE
     Bp = -(-B // 8) * 8  # kernel pads rows to 8
     if layout == "compact":
-        macs = sum(
-            8 * Bp * T * LANE * (4 // gate_group_size(u)) * LANE
-            for u in units
+        gate_lanes = sum(
+            (4 // gate_group_size(u)) * LANE for u in units
         )
     else:
-        macs = 8 * L * Bp * T * LANE * 4 * LANE
+        gate_lanes = L * 4 * LANE
+    macs = 8 * Bp * T * LANE * gate_lanes
     bytes_ = ((1 + 2 * L) + (3 + 4 * L)) * Bp * T * LANE * 4
+    # B > 496 runs ceil(B/256) sequential chunks, each its own fwd/bwd
+    # kernel pair -> the dependent-dot chain multiplies
+    n_chunks = -(-B // 256) if B > 496 else 1
     return TrainStepCost(
         macs_executed=macs,
         macs_model=_model_train_macs(input_dim, units, B, T),
         hbm_bytes=bytes_,
+        total_dots=8 * L * T * n_chunks,
+        vpu_gate_elems=Bp * T * gate_lanes,
     )

@@ -173,13 +173,15 @@ def _pallas_bwd(xp, U, h_seq, c_seq, dh_seq, bt: int, interpret: bool):
             a = jnp.concatenate([a, pad], axis=1)
         return a.reshape(T * Bp, -1)
 
-    zeros = jnp.zeros((1, B, n), jnp.float32)
-    h_prev = jnp.concatenate([zeros, h_seq[:-1]], axis=0)
-    c_prev = jnp.concatenate([zeros, c_seq[:-1]], axis=0)
     nbt = Bp // BT
 
     # reverse time, batch tiles outer: block row index (T-1-t)*nbt + i
     rev = lambda i, t: ((T - 1 - t) * nbt + i, 0)  # noqa: E731
+    # prev-state blocks read from the forward's own outputs one time-block
+    # earlier (no materialized shifted copies — full-tensor HBM copy
+    # traffic, round-5 decomposition); first reverse step clamps to block
+    # 0 and the kernel masks the value to zero
+    prev = lambda i, t: (jnp.maximum(T - 2 - t, 0) * nbt + i, 0)  # noqa: E731
 
     def kernel(xp_ref, hp_ref, cp_ref, ct_ref, dh_ref, u_ref, ut_ref,
                dxp_ref, du_ref, dh_scr, dc_scr, du_scr):
@@ -195,15 +197,18 @@ def _pallas_bwd(xp, U, h_seq, c_seq, dh_seq, bt: int, interpret: bool):
         def _():
             du_scr[:] = jnp.zeros_like(du_scr)
 
+        first = t == T - 1  # processing time 0: h_prev = c_prev = 0
+        hp = jnp.where(first, 0.0, hp_ref[:])
+        cp = jnp.where(first, 0.0, cp_ref[:])
         dh = dh_ref[:] + dh_scr[:]
-        z = xp_ref[:] + jnp.dot(hp_ref[:], u_ref[:],
+        z = xp_ref[:] + jnp.dot(hp, u_ref[:],
                                 preferred_element_type=jnp.float32, precision=DEF)
-        dz, dc_new = gate_update_bwd(z, cp_ref[:], ct_ref[:], dh, dc_scr[:])
+        dz, dc_new = gate_update_bwd(z, cp, ct_ref[:], dh, dc_scr[:])
         dxp_ref[:] = dz
         dh_scr[:] = jnp.dot(dz, ut_ref[:], preferred_element_type=jnp.float32,
                             precision=DEF)
         dc_scr[:] = dc_new
-        du_scr[:] += jnp.dot(hp_ref[:].T, dz,
+        du_scr[:] += jnp.dot(hp.T, dz,
                              preferred_element_type=jnp.float32, precision=DEF)
 
         @pl.when((i_tile == nbt - 1) & (t == T - 1))
@@ -215,7 +220,10 @@ def _pallas_bwd(xp, U, h_seq, c_seq, dh_seq, bt: int, interpret: bool):
         kernel,
         grid=(nbt, T),
         in_specs=[
-            bspec(g4), bspec(n), bspec(n), bspec(n), bspec(n),
+            bspec(g4),
+            pl.BlockSpec((BT, n), prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, n), prev, memory_space=pltpu.VMEM),
+            bspec(n), bspec(n),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -234,7 +242,7 @@ def _pallas_bwd(xp, U, h_seq, c_seq, dh_seq, bt: int, interpret: bool):
         ],
         interpret=interpret,
     )(
-        padB(xp), padB(h_prev), padB(c_prev), padB(c_seq), padB(dh_seq),
+        padB(xp), padB(h_seq), padB(c_seq), padB(c_seq), padB(dh_seq),
         U.astype(jnp.float32), U.T.astype(jnp.float32),
     )
     return dxp.reshape(T, Bp, g4)[:, :B], dU

@@ -206,13 +206,15 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
     L = len(units)
     weights, in_dims, ks, gs = _pack_layers(layers)
 
-    zeros = jnp.zeros((1, B, L * LANE), F32)
-    h_prev = jnp.concatenate([zeros, h_all[:-1]], axis=0)
-    c_prev = jnp.concatenate([zeros, c_all[:-1]], axis=0)
     x_p = pad_cols(x.reshape(T * B, d).astype(F32), LANE)
     dh_p = dh_last_seq.reshape(T * B, LANE).astype(F32)
 
     rev = lambda t: (T - 1 - t, 0)  # noqa: E731
+    # prev-state blocks read from the forward's own outputs one block
+    # earlier (no materialized shifted copies — the concatenates cost
+    # full-tensor HBM copies per step, round-5 decomposition); the first
+    # reverse step clamps to block 0 and the kernel masks to zero
+    prev = lambda t: (jnp.maximum(T - 2 - t, 0), 0)  # noqa: E731
 
     def kernel(x_ref, ha_ref, hp_ref, ca_ref, cp_ref, dhl_ref, *refs):
         w_refs = refs[: 3 * L]
@@ -230,11 +232,14 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
             for s in scr:
                 s[:] = jnp.zeros_like(s)
 
+        first = t == T - 1  # processing time 0: h_prev = c_prev = 0
         dz_above = None
         i_above = None
         for i in range(L - 1, -1, -1):
             u = units[i]
             blk = slice(i * LANE, (i + 1) * LANE)
+            hp_l = jnp.where(first, 0.0, hp_ref[:, blk])
+            cp_l = jnp.where(first, 0.0, cp_ref[:, blk])
             dh = dh_scr[i][:]
             if i == L - 1:
                 dh = dh + dhl_ref[:]
@@ -248,19 +253,19 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
             z = (
                 jnp.dot(inp, w_refs[3 * i][:], precision=DEF,
                         preferred_element_type=F32)
-                + jnp.dot(hp_ref[:, blk], w_refs[3 * i + 1][:], precision=DEF,
+                + jnp.dot(hp_l, w_refs[3 * i + 1][:], precision=DEF,
                           preferred_element_type=F32)
                 + w_refs[3 * i + 2][:]
             )
             dz, dc_new = _gates_bwd(
-                z, cp_ref[:, blk], ca_ref[:, blk], dh, dc_scr[i][:],
+                z, cp_l, ca_ref[:, blk], dh, dc_scr[i][:],
                 u, ks[i], interpret,
             )
             acc[3 * i][:] += jax.lax.dot_general(
                 inp, dz, _T_LHS, precision=DEF, preferred_element_type=F32
             )
             acc[3 * i + 1][:] += jax.lax.dot_general(
-                hp_ref[:, blk], dz, _T_LHS, precision=DEF,
+                hp_l, dz, _T_LHS, precision=DEF,
                 preferred_element_type=F32,
             )
             acc[3 * i + 2][:] += jnp.broadcast_to(
@@ -311,7 +316,10 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
         grid=(T,),
         in_specs=[
             pl.BlockSpec((B, LANE), rev, memory_space=pltpu.VMEM),
-            sspec, sspec, sspec, sspec,
+            sspec,
+            pl.BlockSpec((B, L * LANE), prev, memory_space=pltpu.VMEM),
+            sspec,
+            pl.BlockSpec((B, L * LANE), prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, LANE), rev, memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * L),
@@ -322,9 +330,9 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
     )(
         x_p,
         h_all.reshape(T * B, L * LANE),
-        h_prev.reshape(T * B, L * LANE),
+        h_all.reshape(T * B, L * LANE),
         c_all.reshape(T * B, L * LANE),
-        c_prev.reshape(T * B, L * LANE),
+        c_all.reshape(T * B, L * LANE),
         dh_p,
         *weights,
     )

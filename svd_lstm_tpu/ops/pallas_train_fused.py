@@ -136,14 +136,16 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
         wts.append(pad_cols(weights[3 * i].T, LANE))      # W^T: live cols [0, d_in)
         wts.append(pad_cols(weights[3 * i + 1].T, LANE))  # U^T: live cols [0, n)
 
-    zeros = jnp.zeros((1, B, L * LANE), jnp.float32)
-    h_prev = jnp.concatenate([zeros, h_all[:-1]], axis=0)
-    c_prev = jnp.concatenate([zeros, c_all[:-1]], axis=0)
-
     x_p = pad_cols(x.reshape(T * B, d).astype(jnp.float32), dp)
     dh_p = dh_last_seq.reshape(T * B, LANE).astype(jnp.float32)
 
     rev = lambda t: (T - 1 - t, 0)  # noqa: E731
+    # h_prev/c_prev are the forward's own outputs read one block earlier
+    # (no materialized shifted copies — at B=512 the two concatenates
+    # cost ~1 ms of HBM copy traffic per step, round-5 decomposition);
+    # the first reverse step (time 0) clamps to block 0 and the kernel
+    # masks the value to zero
+    prev = lambda t: (jnp.maximum(T - 2 - t, 0), 0)  # noqa: E731
 
     def kernel(x_ref, ha_ref, hp_ref, ca_ref, cp_ref, dhl_ref, *refs):
         w_refs = refs[: 3 * L]
@@ -164,11 +166,17 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
             for s in scr:
                 s[:] = jnp.zeros_like(s)
 
+        # processing time 0 (reverse grid's last step): h_prev = c_prev = 0
+        # — the prev index map clamped to block 0, mask the stale values
+        first = t == T - 1
+
         # top-down through the stack at this timestep
         dz_above = None  # dz of layer i+1 (feeds dh_i through its W)
         for i in range(L - 1, -1, -1):
             u = units[i]
             blk = slice(i * LANE, (i + 1) * LANE)
+            hp_l = jnp.where(first, 0.0, hp_ref[:, blk][:, :u])
+            cp_l = jnp.where(first, 0.0, cp_ref[:, blk])
             dh = dh_scr[i][:]
             if i == L - 1:
                 dh = dh + dhl_ref[:]
@@ -187,7 +195,7 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
                 jnp.dot(inp, w_refs[3 * i][:],
                         preferred_element_type=jnp.float32,
                         precision=DEF)
-                + jnp.dot(hp_ref[:, blk][:, :u], w_refs[3 * i + 1][:],
+                + jnp.dot(hp_l, w_refs[3 * i + 1][:],
                           preferred_element_type=jnp.float32,
                           precision=DEF)
                 + w_refs[3 * i + 2][:]
@@ -195,7 +203,7 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
             # shared cell-gradient formula (models.lstm.gate_update_bwd);
             # the gate stride here is the LANE-padded state block width
             dz, dc_new = gate_update_bwd(
-                z, cp_ref[:, blk], ca_ref[:, blk], dh, dc_scr[i][:]
+                z, cp_l, ca_ref[:, blk], dh, dc_scr[i][:]
             )
             # weight-grad accumulation (VMEM-resident)
             acc[3 * i][: in_dims[i], :] += jnp.dot(
@@ -203,7 +211,7 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
                 precision=DEF,
             )
             acc[3 * i + 1][:u, :] += jnp.dot(
-                hp_ref[:, blk][:, :u].T, dz,
+                hp_l.T, dz,
                 preferred_element_type=jnp.float32,
                 precision=DEF,
             )
@@ -255,7 +263,10 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
         grid=(T,),
         in_specs=[
             pl.BlockSpec((B, dp), rev, memory_space=pltpu.VMEM),
-            sspec, sspec, sspec, sspec,
+            sspec,
+            pl.BlockSpec((B, L * LANE), prev, memory_space=pltpu.VMEM),
+            sspec,
+            pl.BlockSpec((B, L * LANE), prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, LANE), rev, memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (5 * L),
@@ -266,9 +277,9 @@ def _fused_bwd(layers, x, h_all, c_all, dh_last_seq, interpret: bool):
     )(
         x_p,
         h_all.reshape(T * B, L * LANE),
-        h_prev.reshape(T * B, L * LANE),
+        h_all.reshape(T * B, L * LANE),
         c_all.reshape(T * B, L * LANE),
-        c_prev.reshape(T * B, L * LANE),
+        c_all.reshape(T * B, L * LANE),
         dh_p,
         *weights,
         *wts,
