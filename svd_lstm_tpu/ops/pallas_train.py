@@ -466,19 +466,30 @@ def stacked_lstm_apply_fast_train(
                 [W1, jnp.zeros((n0 - d, 4 * n0), W1.dtype)], axis=0
             )
             h = jnp.concatenate([h, jnp.zeros((T, B, n0 - d), h.dtype)], axis=-1)
-        Ws = jnp.stack([W1] + [l.W for l in params.layers[1:]])
-        Us = jnp.stack([l.U for l in params.layers])
-        bs = jnp.stack([l.b for l in params.layers])
-
         if wide_fused:
+            # Python-unrolled layer loop (round 5): the lax.scan over
+            # stacked weights double-saved every inter-layer activation
+            # (layer i's h_seq again as layer i+1's x residual) and paid
+            # scan-stack copies — measured 9.90 -> 7.34 ms at
+            # 3x512/B=128/T=200 with BIT-IDENTICAL gradients
+            # (probe_wide_unroll; floor_fraction 1.04 after). Safe from
+            # the multi-kernel Mosaic crash because the fully-fused layer
+            # kernel leaves NO differentiated XLA matmul between layers
+            # (the crash needs all three conditions, module docstring).
             from svd_lstm_tpu.ops.pallas_train_wide import wide_layer_trainable
 
-            def body(hh, wub):
-                W, U, b = wub
-                hh = wide_layer_trainable(hh, W, U, b, interpret=interpret)
-                return hh, 0.0
-
+            for W, layer in zip(
+                [W1] + [l.W for l in params.layers[1:]], params.layers
+            ):
+                h = wide_layer_trainable(h, W, layer.U, layer.b,
+                                         interpret=interpret)
         else:
+            # split form (differentiated XLA xp matmul between layers):
+            # keep the scan — unrolled, >= 2 fwd kernel instances + a bwd
+            # instance + that matmul crash the remote Mosaic compiler
+            Ws = jnp.stack([W1] + [l.W for l in params.layers[1:]])
+            Us = jnp.stack([l.U for l in params.layers])
+            bs = jnp.stack([l.b for l in params.layers])
 
             def body(hh, wub):
                 W, U, b = wub
@@ -486,7 +497,7 @@ def stacked_lstm_apply_fast_train(
                 hh = lstm_recurrence_trainable(xp, U, DEFAULT_BT, interpret)
                 return hh, 0.0
 
-        h, _ = jax.lax.scan(body, h, (Ws, Us, bs))
+            h, _ = jax.lax.scan(body, h, (Ws, Us, bs))
     else:
         n_aligned = sum(1 for u in units if u % LANE == 0)
         for layer in params.layers:
