@@ -273,7 +273,7 @@ def narrow_train_step_cost(
     every operand padded to 128 lanes. Per step: fwd 2L dots, bwd 6L
     (recompute 2L, dW/dU/dh-carry 3L, inter-layer dz@W^T L-1, final dx 1),
     each B*128*512 MACs; streams (1+2L) blocks fwd + (3+4L) bwd, each
-    (B, 128) f32. B > 496 runs ceil(B/256)-balanced chunks — same
+    (B, 128) f32. B > 512 runs ceil(B/256)-balanced chunks — same
     per-sample cost on the padded rows.
 
     ``layout="compact"`` (ops/pallas_train_compact.py, the dispatch's
@@ -296,9 +296,10 @@ def narrow_train_step_cost(
         gate_lanes = L * 4 * LANE
     macs = 8 * Bp * T * LANE * gate_lanes
     bytes_ = ((1 + 2 * L) + (3 + 4 * L)) * Bp * T * LANE * 4
-    # B > 496 runs ceil(B/256) sequential chunks, each its own fwd/bwd
-    # kernel pair -> the dependent-dot chain multiplies
-    n_chunks = -(-B // 256) if B > 496 else 1
+    # B > 512 runs ceil(B/256) sequential chunks, each its own fwd/bwd
+    # kernel pair -> the dependent-dot chain multiplies (boundary moved
+    # 496 -> 512 in round 5: whole-batch wins at 512 post no-copy bwd)
+    n_chunks = -(-B // 256) if B > 512 else 1
     return TrainStepCost(
         macs_executed=macs,
         macs_model=_model_train_macs(input_dim, units, B, T),

@@ -32,7 +32,8 @@ All three route through ``ops.singular_train.chunked_fast_train`` so the
 measured Mosaic batch cliffs apply uniformly: the conv output is a
 *computed* (differentiated-producer-fed) input to the kernel program,
 the same program family as the reconstruction-fed fine-tunes that crash
-the remote compiler at B >= 512 — so batches past 496 run the kernel
+the remote compiler (B >= 768 post-round-5) — so batches past
+_MAX_WHOLE_BATCH run the kernel
 over balanced ~256-row chunks exactly like the singular/reduced paths
 (ops/pallas_train.py:_MAX_WHOLE_BATCH). On-chip validation:
 scripts/probe_conv_train_kernel.py (compiled == scan, B across the

@@ -43,8 +43,8 @@ finetune_batch_size) — 10.5×. Known limit of this Mosaic toolchain: for
 B >= 512 the (differentiated reconstruction matmuls + fused fwd/bwd
 kernel pair) program crashes the remote compiler for EVERY batch size
 (HTTP 500, same family as the crash mode documented in
-ops/pallas_train.py; measured OK through B=496,
-scripts/probe_finetune_b512_{fix,pad}.py). Batches past 496 therefore run
+ops/pallas_train.py; measured OK through B=512 (round 5; 496 before the no-copy bwd),
+scripts/probe_finetune_b512_{fix,pad}.py). Batches past the boundary therefore run
 the kernel over balanced ~256-row independent chunks — 256 is the measured
 per-sample sweet spot (8.3 µs/sample vs 10.7 at 496), so the chunked
 step at B=512 (4.30 ms) beats even the whole-batch dense-weight kernel
@@ -70,7 +70,7 @@ def chunked_fast_train(
     """Fused-kernel training forward over a *reconstructed* dense view.
 
     Narrow stacks route to ``stacked_lstm_apply_fast_train``, whose
-    dispatch batch-chunks B > 496 into balanced ~256-row independent
+    dispatch batch-chunks B > 512 into balanced ~256-row independent
     kernel instances — near the measured per-sample optimum AND the fix
     for the B >= 512 reconstruction-fed compiler cliff (module docstring;
     chunk gradients are exact, pad rows get zero cotangent). Non-narrow
