@@ -338,6 +338,59 @@ def recover_reduced_gated(
     return best_params, info
 
 
+def truncate_recover_progressive(
+    dense_params,
+    X_train,
+    y_train,
+    ranks,
+    train_cfg: TrainConfig | None = None,
+    merged_kernel: bool = True,
+    verbose: bool = False,
+    **gate_kwargs,
+):
+    """Progressive truncate -> recover -> re-factorize down a descending
+    rank schedule.
+
+    Round-5 finding (BENCH_NOTES §progressive truncation): direct
+    truncation 3x512 -> r=24 lands on a long-horizon stability boundary
+    (ratio 1.417, fast-mode 3.52x, gated recovery declines at every
+    ladder LR), but routing THROUGH the recoverable r=32 basin first —
+    truncate to 32, gated-recover, re-factorize the recovered model,
+    truncate to 24, recover again — lands a STABLE r=24 model at ratio
+    1.055 with fast-mode 1.059. The knife-edge is a property of the
+    truncation point, not of the rank.
+
+    ``ranks`` is the descending schedule (e.g. ``(32, 24)``); each stage
+    runs :func:`recover_reduced_gated` (kwargs forwarded via
+    ``gate_kwargs``) and the next stage re-factorizes the recovered
+    model's exact dense view. Returns ``(rparams, infos)`` — the final
+    reduced model plus one gate-info dict per stage.
+
+    The reference has no analog at any level: its reduced cell is frozen
+    (code/svd_classes_v3.py:249-315) and its sweep only ever truncates
+    the original trained model (old_versions/svd_acceleration.py:78-88).
+    """
+    from svd_lstm_tpu.factor.svd import make_reduced_model, make_singular_model
+    from svd_lstm_tpu.ops.reduced_train import reduced_dense_view
+
+    if not all(a > b for a, b in zip(ranks, ranks[1:])):
+        raise ValueError(f"ranks must be strictly descending: {ranks}")
+    dense = dense_params
+    rmod, infos = None, []
+    for r in ranks:
+        smodel = make_singular_model(dense, merged_kernel=merged_kernel)
+        rmod = make_reduced_model(smodel, cutoff=None, rank=r)
+        if verbose:
+            print(f"progressive: rank {r}", flush=True)
+        rmod, info = recover_reduced_gated(
+            rmod, X_train, y_train, train_cfg=train_cfg, verbose=verbose,
+            **gate_kwargs,
+        )
+        infos.append({"rank": r, **info})
+        dense = reduced_dense_view(rmod)
+    return rmod, infos
+
+
 def reduced_apply_fn(rparams):
     """The ONE reduced-family forward resolver: ``reduced_lstm_apply`` for
     ``ReducedModelParams``, ``conv_reduced_apply`` for the conv hybrid —

@@ -169,3 +169,28 @@ def test_gated_recovery_improves_when_stable(tiny_run, tiny_reduced):
     assert info["best_val_mse"] < info["raw_val_mse"]
     # provenance stamp for the artifact (ADVICE r4)
     assert info["lr_ladder"] == [3e-3] and "clip" in info
+
+
+def test_progressive_truncate_recover(tiny_run):
+    """truncate_recover_progressive walks a descending schedule, gating
+    each stage; the result has the final rank and never regresses the
+    gate metric (round-5 r=24 rescue mechanism)."""
+    import svd_lstm_tpu as st
+    from svd_lstm_tpu.train.finetune import truncate_recover_progressive
+
+    X, y = tiny_run
+    params = fit(
+        init_stacked_lstm(jax.random.PRNGKey(1), 4, (8, 8)),
+        X, y, _gate_cfg(epochs=3),
+    ).params
+    rmod, infos = truncate_recover_progressive(
+        params, X, y, ranks=(4, 2), train_cfg=_gate_cfg(),
+        lr_ladder=(3e-3,), max_epochs=2,
+    )
+    assert [i["rank"] for i in infos] == [4, 2]
+    assert all(l.wB.shape[1] == 2 for l in rmod.layers)  # final rank held
+    for i in infos:
+        assert i["best_val_mse"] <= i["raw_val_mse"] + 1e-9
+
+    with pytest.raises(ValueError):
+        truncate_recover_progressive(params, X, y, ranks=(2, 4))
