@@ -45,7 +45,13 @@ RANK = int(os.environ.get("BENCH_RANK", 25))
 WIDE_UNITS = tuple(
     int(u) for u in os.environ.get("BENCH_WIDE_UNITS", "512,512,512").split(",")
 )
-WIDE_RANK = int(os.environ.get("BENCH_WIDE_RANK", 32))
+# r=24 (round 5): the deepest rank with evidenced usable accuracy — the
+# progressive truncate-recover pipeline lands it at whole-run RMSE x1.055
+# with fast-mode tracking exact (BENCH_NOTES §progressive truncation;
+# direct truncation to 24 is a measured knife-edge and NOT the deployment
+# recipe). Timing is shape-determined, so the direct-truncated model
+# benched here times identically to the progressive-recovered one.
+WIDE_RANK = int(os.environ.get("BENCH_WIDE_RANK", 24))
 BATCHED_B = int(os.environ.get("BENCH_BATCHED_B", 256))
 BATCHED_T = int(os.environ.get("BENCH_BATCHED_T", 128))
 SKIP = set(filter(None, os.environ.get("BENCH_SKIP", "").split(",")))
