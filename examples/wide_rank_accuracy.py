@@ -51,6 +51,15 @@ def main():
         "whole-run validation MSE on the TRAIN half or it is rolled back "
         "and the LR ladder steps down",
     )
+    ap.add_argument(
+        "--progressive",
+        action="store_true",
+        help="additionally run the progressive truncate-recover pipeline "
+        "to r=24 (ranks 32 -> 24, re-factorizing the recovered model "
+        "between stages) and record it as a 'progressive_r24' block — the "
+        "round-5 rescue of the direct-truncation knife-edge "
+        "(BENCH_NOTES §progressive truncation)",
+    )
     ap.add_argument("--noise", type=float, default=1.5)
     ap.add_argument("--ckpt", default="./model_saves/pretrained_3x512_n1.5.npz")
     ap.add_argument("--out", default="./model_saves/wide_rank_accuracy.json")
@@ -212,6 +221,45 @@ def main():
               + (f"  time x{row['timing_ratio']:.3f}" if on_tpu else ""),
               flush=True)
 
+    progressive = None
+    if args.progressive:
+        # progressive truncate -> recover -> re-factorize schedule down to
+        # r=24 (direct truncation there is a measured knife-edge that the
+        # gated recovery correctly refuses — BENCH_NOTES §round-5)
+        from svd_lstm_tpu.train.finetune import truncate_recover_progressive
+
+        ranks = (32, 24) if not args.quick else (8, 4)
+        rcfg = TrainConfig(
+            batch_size=32 if args.quick else 128,
+            num_windows=512 if args.quick else 20_000,
+            window_len=50 if args.quick else 200,
+        )
+        print(f"progressive pipeline: ranks {ranks}...", flush=True)
+        rprog, infos = truncate_recover_progressive(
+            model, ds.X_train, ds.y_train, ranks=ranks, train_cfg=rcfg,
+            max_epochs=args.recover_epochs, verbose=True,
+        )
+        e_p = rmse(y_true, inv(
+            predict_full_run(rprog, ds.X_test, apply_fn=reduced_lstm_apply)
+        ))
+        e_pf = rmse(y_true, inv(np.asarray(fast_fn(rprog, x_test1))[:, 0]))
+        progressive = {
+            "ranks": list(ranks),
+            "rmse_mm": round(float(e_p * 1000), 4),
+            "rmse_ratio": round(float(e_p / full_rmse), 4),
+            "rmse_fast_mm": round(float(e_pf * 1000), 4),
+            "rmse_fast_ratio": round(float(e_pf / full_fast_rmse), 4),
+            "stages": [
+                {"rank": i["rank"], "accepted_epochs": i["accepted_epochs"],
+                 "raw_val_mse": round(i["raw_val_mse"], 6),
+                 "best_val_mse": round(i["best_val_mse"], 6)}
+                for i in infos
+            ],
+        }
+        print(f"progressive r={ranks[-1]}: RMSE ratio "
+              f"{progressive['rmse_ratio']:.3f}  fast "
+              f"{progressive['rmse_fast_ratio']:.3f}", flush=True)
+
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(
@@ -228,6 +276,7 @@ def main():
                 },
                 "full_rmse_mm": round(float(full_rmse * 1000), 4),
                 "full_rmse_fast_mm": round(float(full_fast_rmse * 1000), 4),
+                "progressive_r24": progressive,
                 "full_weights": full_w,
                 "full_ms": full_ms,
                 "rows": rows,
