@@ -236,8 +236,16 @@ def recover_reduced_gated(
     validation: tuple | None = None,
     windows: tuple | None = None,
     verbose: bool = False,
+    apply_fn=None,
+    gate_apply_fn=None,
 ):
     """Validation-gated post-truncation recovery with LR backoff.
+
+    ``apply_fn`` overrides the training forward (default: the family's
+    stock apply) — e.g. ``utils.quantize.qat_apply(reduced_lstm_apply)``
+    for gated QAT; ``gate_apply_fn`` overrides the forward the gate
+    evaluates (default: ``apply_fn``) — for QAT, gate on the QUANTIZED
+    view so the accepted model is the one whose ARTIFACT improves.
 
     Round-4 finding: NO fixed recovery LR is rank-robust at 3x512 — the
     'measured-stable' 3e-5 (swept only at r=32, BENCH_NOTES §wide
@@ -280,8 +288,9 @@ def recover_reduced_gated(
         train_cfg = TrainConfig()
     if validation is None:
         validation = (X_train, y_train)
-    apply_fn = reduced_apply_fn(rparams)
-    val_fn = make_val_fn(apply_fn, validation)
+    if apply_fn is None:
+        apply_fn = reduced_apply_fn(rparams)
+    val_fn = make_val_fn(gate_apply_fn or apply_fn, validation)
 
     if windows is None:
         windows = split_train_random(
