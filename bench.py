@@ -378,8 +378,12 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
         )
         # floor in the layout the dispatch actually resolves: compact="auto"
         # routes the eligible dense stack to the compact-gate kernels at
-        # B >= 128 (fewer executed MACs -> a LOWER floor to answer to)
-        layout = "compact" if B >= 128 else "p"
+        # the measured crossover (fewer executed MACs -> a LOWER floor to
+        # answer to). Import the dispatch's own constant so bench and
+        # dispatch cannot disagree (round-5 review).
+        from svd_lstm_tpu.ops.pallas_train import _COMPACT_MIN_BATCH
+
+        layout = "compact" if B >= _COMPACT_MIN_BATCH else "p"
         entry["kernel_layout"] = layout
         add_floor(
             entry,
@@ -450,9 +454,14 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
     log(f"[train] singular finetune B={TRAIN_B}: {ft}")
     out["singular_finetune"] = ft
 
-    # large-batch fine-tune past the B>=512 reconstruction-fed compiler
-    # cliff: the kernel runs over independent 256-row chunks
-    # (ops/singular_train.chunked_fast_train, probe_finetune_b512_chunk.py)
+    # large-batch fine-tune: at B=512 the dispatch now runs the
+    # whole-batch reconstruction-fed program (boundary moved 496 -> 512
+    # post no-copy bwd, round 5); above it the kernel runs over balanced
+    # ~256-row chunks (ops/singular_train.chunked_fast_train). Floor in
+    # the layout the dispatch resolves (compact at B >= crossover via the
+    # eligible dense view).
+    from svd_lstm_tpu.ops.pallas_train import _COMPACT_MIN_BATCH
+
     xb = jnp.asarray(
         rng.normal(size=(TRAIN_B_BIG, TRAIN_T, INPUT_DIM)), jnp.float32
     )
@@ -460,16 +469,21 @@ def bench_train(jax, jnp, st, device_time_ms, on_tpu):
     ftb = {}
     for name, step in [
         ("f32_scan", mk_step(singular_lstm_apply, fopt, extra=reg)),
-        ("chunked_kernel", mk_step(ker_ft, fopt, extra=reg)),
+        ("fused_kernel", mk_step(ker_ft, fopt, extra=reg)),
     ]:
         ms = device_time_ms(step, sparams, fs0, xb, yb)
         ftb[name + "_ms"] = round(ms, 4)
     ftb["kernel_speedup_vs_f32"] = round(
-        ftb["f32_scan_ms"] / ftb["chunked_kernel_ms"], 3
+        ftb["f32_scan_ms"] / ftb["fused_kernel_ms"], 3
     )
+    ftb_layout = "compact" if TRAIN_B_BIG >= _COMPACT_MIN_BATCH else "p"
+    ftb["kernel_layout"] = ftb_layout
     add_floor(
-        ftb, narrow_train_step_cost(INPUT_DIM, UNITS, TRAIN_B_BIG, TRAIN_T),
-        "chunked_kernel_ms",
+        ftb,
+        narrow_train_step_cost(
+            INPUT_DIM, UNITS, TRAIN_B_BIG, TRAIN_T, layout=ftb_layout
+        ),
+        "fused_kernel_ms",
     )
     log(f"[train] singular finetune B={TRAIN_B_BIG} (chunked): {ftb}")
     out["singular_finetune_big"] = ftb
@@ -596,8 +610,17 @@ def main():
         "batched_fast": batched,
         "train": train,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    # The repo-root BENCH_DETAIL.json is COMMITTED EVIDENCE: only a real
+    # TPU run may overwrite it (a CPU smoke run once clobbered the r=24
+    # capture with 8x8/T=256 numbers — round-5 review finding). Smoke and
+    # CPU runs write to /tmp; BENCH_DETAIL_PATH overrides either way.
+    default_detail = (
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json")
+        if on_tpu
+        else "/tmp/BENCH_DETAIL.json"
+    )
+    detail_path = os.environ.get("BENCH_DETAIL_PATH") or default_detail
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     log(f"full detail -> {detail_path}")

@@ -44,7 +44,10 @@ def _linear_gate_bwd(z, c_prev, c_new, dh, dc):
 
 
 def fused_bwd_linear(layers, x, h_all, c_all, dh_last_seq):
-    """_fused_bwd with gate_update_bwd -> _linear_gate_bwd (same dots)."""
+    """_fused_bwd with gate_update_bwd -> _linear_gate_bwd. Same dots AND
+    the same no-copy prev-block reads as the production kernel (round 5):
+    the control arm must differ ONLY in the gate math, or the
+    subtraction stops isolating the VPU share."""
     T_, B, d_ = x.shape
     units = [l.units for l in layers]
     L = len(units)
@@ -54,12 +57,10 @@ def fused_bwd_linear(layers, x, h_all, c_all, dh_last_seq):
     for i in range(L):
         wts.append(pad_cols(weights[3 * i].T, LANE))
         wts.append(pad_cols(weights[3 * i + 1].T, LANE))
-    zeros = jnp.zeros((1, B, L * LANE), F32)
-    h_prev = jnp.concatenate([zeros, h_all[:-1]], axis=0)
-    c_prev = jnp.concatenate([zeros, c_all[:-1]], axis=0)
     x_p = pad_cols(x.reshape(T_ * B, d_).astype(F32), dp)
     dh_p = dh_last_seq.reshape(T_ * B, LANE).astype(F32)
     rev = lambda t: (T_ - 1 - t, 0)  # noqa: E731
+    prev = lambda t: (jnp.maximum(T_ - 2 - t, 0), 0)  # noqa: E731
 
     def kernel(x_ref, ha_ref, hp_ref, ca_ref, cp_ref, dhl_ref, *refs):
         w_refs = refs[: 3 * L]
@@ -77,10 +78,13 @@ def fused_bwd_linear(layers, x, h_all, c_all, dh_last_seq):
             for s in scr:
                 s[:] = jnp.zeros_like(s)
 
+        first = t == T_ - 1
         dz_above = None
         for i in range(L - 1, -1, -1):
             u = units[i]
             blk = slice(i * LANE, (i + 1) * LANE)
+            hp_l = jnp.where(first, 0.0, hp_ref[:, blk][:, :u])
+            cp_l = jnp.where(first, 0.0, cp_ref[:, blk])
             dh = dh_scr[i][:]
             if i == L - 1:
                 dh = dh + dhl_ref[:]
@@ -95,17 +99,17 @@ def fused_bwd_linear(layers, x, h_all, c_all, dh_last_seq):
             z = (
                 jnp.dot(inp, w_refs[3 * i][:], preferred_element_type=F32,
                         precision=DEF)
-                + jnp.dot(hp_ref[:, blk][:, :u], w_refs[3 * i + 1][:],
+                + jnp.dot(hp_l, w_refs[3 * i + 1][:],
                           preferred_element_type=F32, precision=DEF)
                 + w_refs[3 * i + 2][:]
             )
             dz, dc_new = _linear_gate_bwd(
-                z, cp_ref[:, blk], ca_ref[:, blk], dh, dc_scr[i][:]
+                z, cp_l, ca_ref[:, blk], dh, dc_scr[i][:]
             )
             acc[3 * i][: in_dims[i], :] += jnp.dot(
                 inp.T, dz, preferred_element_type=F32, precision=DEF)
             acc[3 * i + 1][:u, :] += jnp.dot(
-                hp_ref[:, blk][:, :u].T, dz, preferred_element_type=F32,
+                hp_l.T, dz, preferred_element_type=F32,
                 precision=DEF)
             acc[3 * i + 2][:] += jnp.broadcast_to(
                 jnp.sum(dz, axis=0, keepdims=True), (8, 4 * LANE))
@@ -150,14 +154,17 @@ def fused_bwd_linear(layers, x, h_all, c_all, dh_last_seq):
         grid=(T_,),
         in_specs=[
             pl.BlockSpec((B, dp), rev, memory_space=pltpu.VMEM),
-            sspec, sspec, sspec, sspec,
+            sspec,
+            pl.BlockSpec((B, L * LANE), prev, memory_space=pltpu.VMEM),
+            sspec,
+            pl.BlockSpec((B, L * LANE), prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, LANE), rev, memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (5 * L),
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch,
-    )(x_p, h_all.reshape(T_ * B, L * LANE), h_prev.reshape(T_ * B, L * LANE),
-      c_all.reshape(T_ * B, L * LANE), c_prev.reshape(T_ * B, L * LANE),
+    )(x_p, h_all.reshape(T_ * B, L * LANE), h_all.reshape(T_ * B, L * LANE),
+      c_all.reshape(T_ * B, L * LANE), c_all.reshape(T_ * B, L * LANE),
       dh_p, *weights, *wts)[0]
 
 

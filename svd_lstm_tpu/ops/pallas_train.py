@@ -51,17 +51,17 @@ from svd_lstm_tpu.ops.pallas_batched import DEFAULT_BT, LANE, _ceil_to
 DEF = jax.lax.Precision.DEFAULT
 
 # Largest whole-batch the narrow fused kernel program is measured to
-# compile at in every weight-provenance regime: reconstruction-fed
-# programs (singular/reduced fine-tunes) crash the remote compiler for
-# EVERY B >= 512 and compile through 496; dense-weight programs crash at
-# B >= 1024 (scripts/probe_finetune_b512_*.py, probe_train_dense_chunk.py).
+# compile at in every weight-provenance regime. Rounds 3-4 (with the
+# shifted-copy h_prev backward): reconstruction-fed programs crashed for
+# every B >= 512 (scripts/probe_finetune_b512_*.py). Round-5
+# remeasurement AFTER the no-copy backward: the whole-batch program now
+# compiles AND wins at exactly B=512 — compact 2.142 vs 2.328 ms
+# chunked, P-layout 2.769 vs 2.872, reconstruction-fed 2.219 vs 2.388 —
+# while B >= 768 whole-batch still fails the remote Mosaic compile
+# (HTTP 500) in every regime, so the boundary moved 496 -> 512, not
+# away. The on-TPU suite pins whole-batch B=512 in both layouts plus
+# the reconstruction-fed path, so a toolchain regression is caught.
 _MAX_WHOLE_BATCH = 512
-# Round-5 remeasurement (post no-copy backward): the whole-batch program
-# now compiles AND wins at B=512 — compact 2.142 vs 2.328 ms chunked,
-# P-layout 2.769 vs 2.872 (scripts/probe_cliff notes in BENCH_NOTES).
-# B >= 768 whole-batch still fails the remote Mosaic compile (HTTP 500),
-# so the boundary moved 496 -> 512, not away; the on-TPU suite pins
-# whole-batch B=512 both layouts so a toolchain regression is caught.
 # compact-gate-layout crossover: measured on v5e through the production
 # dispatch (scripts/probe_train_compact_ab.py) — P-layout wins at B=32,
 # compact from B=128 up. "auto" resolves with this.

@@ -333,12 +333,21 @@ def recover_reduced_gated(
             if ladder_idx >= len(lr_ladder):
                 break
             cur_params, opt_state = best_params, None
+    # provenance must name the forward the gate ACTUALLY evaluated — a
+    # QAT run gates on the fake-quantized view, not the exact forward
+    gate_forward = (
+        "exact forward"
+        if gate_apply_fn is None and apply_fn is reduced_apply_fn(rparams)
+        else getattr(
+            gate_apply_fn or apply_fn, "__name__", "custom forward"
+        )
+    )
     info = {
         "recipe": "val-gated lr-backoff recovery",
         "lr_ladder": list(lr_ladder),
         "clip": clip,
         "max_epochs": max_epochs,
-        "gate": "whole-run MSE on the train half (exact forward)",
+        "gate": f"whole-run MSE on the train half ({gate_forward})",
         "raw_val_mse": raw_val,
         "best_val_mse": best_val,
         "trace": trace,

@@ -287,11 +287,19 @@ def apply_cached_train_flags(
     the training analog of ``api.predict(impl="auto")``'s cache consult)."""
     from svd_lstm_tpu.bench.autotune import cached_train_flags
 
+    # shape reads only — np.asarray on a device-resident window set would
+    # copy ~GBs to host through a tunneled backend just to read .shape
     if windows is not None:
-        shape = (cfg.batch_size,) + tuple(np.asarray(windows[0]).shape[1:])
+        w0 = windows[0]
+        wshape = w0.shape if hasattr(w0, "shape") else np.asarray(w0).shape
+        shape = (cfg.batch_size,) + tuple(wshape[1:])
     else:
-        d = int(np.asarray(X_train).shape[-1])
-        shape = (cfg.batch_size, cfg.window_len, d)
+        xs = (
+            X_train.shape
+            if hasattr(X_train, "shape")
+            else np.asarray(X_train).shape
+        )
+        shape = (cfg.batch_size, cfg.window_len, int(xs[-1]))
     probe = np.empty(shape, dtype=np.float32)
     hit = cached_train_flags(params, probe)
     if hit is None:
